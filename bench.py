@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Grid operators run on a 1024x1024 synthetic DEM (tile 256) — 1M cells,
+16 tiles — sf-independent; document/embedding operators run on the
+sf-dir parquet. Per-query wall seconds plus derived docs/sec and
+tiles/sec throughputs (BASELINE.md metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_spatial_spark.session import get_spark  # noqa: E402
+from go_spatial_spark.grid import (  # noqa: E402
+    RasterMeta, long_to_tiles, run_stencil, synthetic_dem, tiles_to_long,
+)
+from go_spatial_spark import kernels  # noqa: E402
+from go_spatial_spark.geocode import geocode  # noqa: E402
+from go_spatial_spark.operators import dedup, similarity, textstats  # noqa: E402
+from go_spatial_spark.operators.spatial_join import (  # noqa: E402
+    knn_self, point_in_polygon,
+)
+from go_spatial_spark.operators.window_stats import quantiles  # noqa: E402
+
+BENCH_ROWS, BENCH_COLS, BENCH_TILE = 1024, 1024, 256
+BMETA = RasterMeta(rows=BENCH_ROWS, cols=BENCH_COLS)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gss-bench", cpus=cpus)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    events.count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+    li.count()
+
+    dem_tiles = long_to_tiles(
+        synthetic_dem(spark, BENCH_ROWS, BENCH_COLS), BMETA,
+        tile=BENCH_TILE).cache()
+    n_tiles = dem_tiles.count()
+
+    pts = geocode(docs).select("doc_id", "lat", "lon")
+
+    def st(kernel, halo, **extra):
+        return lambda: tiles_to_long(
+            run_stencil(dem_tiles, BMETA, kernel, halo=halo,
+                        tile=BENCH_TILE, ctx_extra=extra or None),
+            BMETA, tile=BENCH_TILE).count()
+
+    bench_queries = {
+        "pip_join": lambda: point_in_polygon(pts, spark).count(),
+        "knn": lambda: knn_self(pts, k=5).count(),
+        "cell_assign": lambda: geocode(docs).count(),
+        "minhash_signatures": lambda: dedup.minhash_signatures(docs).count(),
+        "simhash": lambda: dedup.simhash(docs).count(),
+        "ngram_jaccard_top1": lambda: dedup.ngram_jaccard_top1(docs).count(),
+        "cosine_topk": lambda: similarity.cosine_topk(emb).count(),
+        "ivf_topk": lambda: similarity.ivf_topk(emb).count(),
+        "token_stats": lambda: textstats.token_stats(docs).count(),
+        "slope": st(kernels.slope_kernel, 1),
+        "hillshade": st(kernels.hillshade_kernel, 1),
+        "mean_filter": st(kernels.mean_filter_kernel, 2, rx=2, ry=2),
+        "dev_from_mean": st(kernels.deviation_from_mean_kernel, 8, r=8, k=300.0),
+        "quantiles": lambda: quantiles(
+            synthetic_dem(spark, BENCH_ROWS, BENCH_COLS)).count(),
+        "events_hourly": lambda: (
+            events.withColumn("hour", F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600"))
+            .groupBy("hour", "event_type").count().count()),
+        "tpch_q1": lambda: (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.count("*")).count()),
+    }
+
+    times: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    doc_q = ["pip_join", "knn", "cell_assign", "minhash_signatures",
+             "simhash", "ngram_jaccard_top1", "token_stats"]
+    tile_q = ["slope", "hillshade", "mean_filter", "dev_from_mean"]
+    doc_secs = sum(times[q] for q in doc_q)
+    tile_secs = sum(times[q] for q in tile_q)
+    result = {
+        "metric": "suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "docs_per_sec": round(n_docs * len(doc_q) / doc_secs, 1),
+        "tiles_per_sec": round(n_tiles * len(tile_q) / tile_secs, 2),
+        "n_docs": n_docs,
+        "n_tiles": n_tiles,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

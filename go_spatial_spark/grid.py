@@ -1,0 +1,299 @@
+"""Grid (raster) data model: long form, tile form, halo exchange.
+
+The reference models a raster as one dense in-memory float64 array
+(`/root/reference/geospatialfiles/raster/raster.go:55-66`). We model it
+as two co-existing DataFrame shapes:
+
+- **long form** — ``(row int, col int, value double)``, one row per
+  *valid* cell (NoData cells are simply absent; the reference's NoData
+  sentinel `raster.go:104` maps to row-absence at the relational
+  boundary).
+- **tile form** — ``(ty int, tx int, h int, w int, data binary)``, one
+  row per fixed-size tile; ``data`` is a row-major float64 buffer of
+  shape (h, w) with NoData cells holding the sentinel (NumPy has no null
+  for float64, so the sentinel lives only *inside* tiles).
+
+Focal ("stencil") operators run on tile form via `mapInPandas`/
+`applyInPandas` with **halo exchange**: each tile ships only its
+`halo`-wide edge strips (not the whole tile) to its 8 neighbors, so
+shuffle volume scales with tile *perimeter*, not area — the property
+that keeps this viable at 100 TB.
+
+Out-of-grid reads are NoData, matching the reference's default boundary
+policy (`raster.go:289-319`, ReflectAtBoundaries=false).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+NODATA = -32768.0  # reference default: raster.go:104
+
+
+@dataclass(frozen=True)
+class RasterMeta:
+    """Raster header, mirroring RasterConfig (raster.go:68-87)."""
+
+    rows: int
+    cols: int
+    north: float = 0.0
+    south: float = 0.0
+    east: float = 0.0
+    west: float = 0.0
+    nodata: float = NODATA
+    epsg: int = 0
+
+    def __post_init__(self):
+        if self.north == 0.0 and self.south == 0.0:
+            # default: unit cells, projected coordinates
+            object.__setattr__(self, "north", float(self.rows))
+            object.__setattr__(self, "east", float(self.cols))
+
+    @property
+    def cellsize_x(self) -> float:
+        return (self.east - self.west) / self.cols
+
+    @property
+    def cellsize_y(self) -> float:
+        return (self.north - self.south) / self.rows
+
+    @property
+    def mean_cellsize(self) -> float:
+        # slope.go:150-151: eightGridRes = 8 * mean cell size
+        return (self.cellsize_x + self.cellsize_y) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic DEM
+# ---------------------------------------------------------------------------
+# All values are multiples of 2^-6 with magnitude < 600 so that sums of
+# up to ~2^24 cells are EXACT in float64 regardless of summation order.
+# That makes Spark vs DuckDB aggregates bit-identical with no rounding.
+# Integer-only congruences keep both engines' arithmetic identical.
+
+_DEM_HOLE_MOD = 997
+_DEM_HOLE_LT = 2
+
+
+def synthetic_dem(spark: SparkSession, rows: int, cols: int) -> DataFrame:
+    """Long-form deterministic DEM; NoData holes are absent rows."""
+    i = F.col("id")
+    r = (i / cols).cast("int").alias("row")
+    c = (i % cols).cast("int").alias("col")
+    df = spark.range(rows * cols).select(r, c)
+    h = (F.col("row") * 7919 + F.col("col") * 104729
+         + ((F.col("row") * F.col("col")) % 1543) * 31) % 9973
+    base = ((F.col("row") * 13) % 97 + (F.col("col") * 17) % 89) * 2
+    value = (base.cast("double") + h.cast("double") / F.lit(64.0)).alias("value")
+    hole = ((F.col("row") * 31 + F.col("col") * 17) % _DEM_HOLE_MOD) < _DEM_HOLE_LT
+    return df.select("row", "col", value).where(~hole)
+
+
+def synthetic_dem_sql(rows: int, cols: int) -> str:
+    """DuckDB SQL producing the identical long-form DEM (bit-exact)."""
+    return f"""
+    SELECT (i // {cols})::INT AS row, (i % {cols})::INT AS col,
+           ((((i // {cols}) * 13) % 97 + ((i % {cols}) * 17) % 89) * 2)::DOUBLE
+           + (((i // {cols}) * 7919 + (i % {cols}) * 104729
+               + (((i // {cols}) * (i % {cols})) % 1543) * 31) % 9973)::DOUBLE / 64.0
+           AS value
+    FROM range(0, {rows} * {cols}) t(i)
+    WHERE (((i // {cols}) * 31 + (i % {cols}) * 17) % {_DEM_HOLE_MOD}) >= {_DEM_HOLE_LT}
+    """
+
+
+def synthetic_dem_numpy(rows: int, cols: int, nodata: float = NODATA) -> np.ndarray:
+    """Dense NumPy replica of the synthetic DEM (golden-test oracle)."""
+    r = np.arange(rows, dtype=np.int64)[:, None]
+    c = np.arange(cols, dtype=np.int64)[None, :]
+    h = (r * 7919 + c * 104729 + ((r * c) % 1543) * 31) % 9973
+    base = ((r * 13) % 97 + (c * 17) % 89) * 2
+    v = base.astype(np.float64) + h.astype(np.float64) / 64.0
+    hole = ((r * 31 + c * 17) % _DEM_HOLE_MOD) < _DEM_HOLE_LT
+    v = np.where(hole, nodata, v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# long form <-> tile form
+# ---------------------------------------------------------------------------
+
+TILE_SCHEMA = "ty int, tx int, h int, w int, data binary"
+
+
+def long_to_tiles(df: DataFrame, meta: RasterMeta, tile: int = 256) -> DataFrame:
+    """Pack long-form cells into fixed-size tiles (one Arrow batch each).
+
+    Partitioning: hash on (ty, tx) — tiles are the unit of parallelism,
+    analogous to the reference's row blocks (hillshade.go:184-205) but
+    shuffle-addressable.
+    """
+    rows, cols, nodata = meta.rows, meta.cols, meta.nodata
+    n_ty = math.ceil(rows / tile)
+    n_tx = math.ceil(cols / tile)
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        h = min(tile, rows - ty * tile)
+        w = min(tile, cols - tx * tile)
+        arr = np.full((h, w), nodata, dtype=np.float64)
+        rr = pdf["row"].to_numpy() - ty * tile
+        cc = pdf["col"].to_numpy() - tx * tile
+        arr[rr, cc] = pdf["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {"ty": [ty], "tx": [tx], "h": [h], "w": [w], "data": [arr.tobytes()]}
+        )
+
+    keyed = df.withColumn("ty", (F.col("row") / tile).cast("int")).withColumn(
+        "tx", (F.col("col") / tile).cast("int")
+    )
+    out = keyed.groupBy("ty", "tx").applyInPandas(pack, schema=TILE_SCHEMA)
+    # NoData-only tiles produce no long rows → absent tiles are fine:
+    # downstream treats absent neighbors as all-NoData.
+    _ = (n_ty, n_tx)
+    return out
+
+
+def tiles_to_long(tiles: DataFrame, meta: RasterMeta, tile: int = 256,
+                  value_col: str = "value") -> DataFrame:
+    """Unpack tile form to long form (valid cells only)."""
+    nodata = meta.nodata
+
+    def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.data, dtype=np.float64).reshape(t.h, t.w)
+                mask = arr != nodata
+                rr, cc = np.nonzero(mask)
+                outs.append(pd.DataFrame({
+                    "row": (rr + t.ty * tile).astype(np.int32),
+                    "col": (cc + t.tx * tile).astype(np.int32),
+                    value_col: arr[mask],
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tiles.mapInPandas(unpack, schema=f"row int, col int, {value_col} double")
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange + stencil runner
+# ---------------------------------------------------------------------------
+
+# 8-neighbor offsets in (dty, dtx); strips are cropped to `halo` width so
+# the shuffle moves O(perimeter * halo) bytes per tile, not O(area).
+_NEIGHBOR_OFFSETS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+                     (0, 1), (1, -1), (1, 0), (1, 1)]
+
+_STRIP_SCHEMA = ("ty int, tx int, src_dty int, src_dtx int, "
+                 "h int, w int, data binary")
+
+
+def run_stencil(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    kernel: Callable[[np.ndarray, int, "StencilCtx"], np.ndarray],
+    halo: int,
+    tile: int = 256,
+    ctx_extra: dict | None = None,
+) -> DataFrame:
+    """Run a focal kernel over tile form with halo exchange.
+
+    ``kernel(padded, halo, ctx) -> out`` receives a float64 array of
+    shape (h+2*halo, w+2*halo) where out-of-tile cells are filled from
+    neighbor strips (or NoData at grid edges / missing tiles), and must
+    return the (h, w) output block. ``ctx`` carries meta + the tile's
+    global origin so kernels can reason about absolute coordinates.
+
+    Implementation: each tile emits its center plus up to 8 cropped edge
+    strips addressed to neighbor tiles; a groupBy(ty,tx) applyInPandas
+    assembles the padded block and runs the kernel. One shuffle total.
+    """
+    rows, cols, nodata = meta.rows, meta.cols, meta.nodata
+    n_ty = math.ceil(rows / tile)
+    n_tx = math.ceil(cols / tile)
+    extra = dict(ctx_extra or {})
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.data, dtype=np.float64).reshape(t.h, t.w)
+                # center piece (marked by src offset 0,0)
+                recs.append((t.ty, t.tx, 0, 0, t.h, t.w, t.data))
+                for dty, dtx in _NEIGHBOR_OFFSETS:
+                    nty, ntx = t.ty + dty, t.tx + dtx
+                    if not (0 <= nty < n_ty and 0 <= ntx < n_tx):
+                        continue
+                    # Crop the strip of this tile adjacent to neighbor
+                    # (nty,ntx): the neighbor needs our edge of width halo.
+                    rs = slice(0, min(halo, t.h)) if dty < 0 else (
+                        slice(max(0, t.h - halo), t.h) if dty > 0 else slice(0, t.h))
+                    cs = slice(0, min(halo, t.w)) if dtx < 0 else (
+                        slice(max(0, t.w - halo), t.w) if dtx > 0 else slice(0, t.w))
+                    strip = np.ascontiguousarray(arr[rs, cs])
+                    recs.append((nty, ntx, -dty, -dtx,
+                                 strip.shape[0], strip.shape[1], strip.tobytes()))
+            if recs:
+                yield pd.DataFrame(recs, columns=[
+                    "ty", "tx", "src_dty", "src_dtx", "h", "w", "data"])
+
+    strips = tiles.mapInPandas(emit, schema=_STRIP_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        center = pdf[(pdf.src_dty == 0) & (pdf.src_dtx == 0)]
+        if center.empty:
+            return pd.DataFrame(columns=["ty", "tx", "h", "w", "data"])
+        ct = center.iloc[0]
+        h, w = int(ct.h), int(ct.w)
+        padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
+        padded[halo:halo + h, halo:halo + w] = (
+            np.frombuffer(ct.data, dtype=np.float64).reshape(h, w))
+        for s in pdf.itertuples(index=False):
+            dty, dtx = int(s.src_dty), int(s.src_dtx)
+            if dty == 0 and dtx == 0:
+                continue
+            sa = np.frombuffer(s.data, dtype=np.float64).reshape(s.h, s.w)
+            # Paste the neighbor strip into the padded frame. The strip
+            # came from neighbor (ty+dty, tx+dtx) and is its edge facing
+            # us, already cropped to <= halo wide in the offset axis.
+            if dty < 0:
+                rs = slice(halo - sa.shape[0], halo)
+            elif dty > 0:
+                rs = slice(halo + h, halo + h + sa.shape[0])
+            else:
+                rs = slice(halo, halo + sa.shape[0])
+            if dtx < 0:
+                cs = slice(halo - sa.shape[1], halo)
+            elif dtx > 0:
+                cs = slice(halo + w, halo + w + sa.shape[1])
+            else:
+                cs = slice(halo, halo + sa.shape[1])
+            padded[rs, cs] = sa
+        ctx = StencilCtx(meta=meta, tile=tile, ty=ty, tx=tx,
+                         row0=ty * tile, col0=tx * tile, extra=extra)
+        out = kernel(padded, halo, ctx)
+        out = np.ascontiguousarray(out, dtype=np.float64)
+        return pd.DataFrame(
+            {"ty": [ty], "tx": [tx], "h": [h], "w": [w], "data": [out.tobytes()]})
+
+    return strips.groupBy("ty", "tx").applyInPandas(assemble, schema=TILE_SCHEMA)
+
+
+@dataclass
+class StencilCtx:
+    meta: RasterMeta
+    tile: int
+    ty: int
+    tx: int
+    row0: int  # global row of padded[halo, halo]
+    col0: int
+    extra: dict

@@ -1,0 +1,199 @@
+"""Deduplication operators over the documents table: exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard top-neighbor.
+
+Hashing strategy chosen for engine-agnostic determinism: md5 hex
+strings (identical in Spark's JVM md5 and DuckDB's md5), with the
+*lexicographic minimum* as the MinHash order statistic — a valid
+uniform min-hash that needs no hex->int conversion, so Spark and the
+DuckDB oracle agree byte-for-byte.
+
+All operators are JVM-side expressions (explode + groupBy + join); the
+LSH band join is an equi-join on (band_id, signature) which Catalyst
+hash-partitions — the classic shuffle-light near-dup pattern at scale
+(candidates only within identical band buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # 2 hashes per band
+NGRAM = 3
+
+
+def _gram_expr(n: int = NGRAM) -> str:
+    return (f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))")
+
+
+def _grams_sql(n: int = NGRAM) -> str:
+    return (f"list_transform(range(1, len(string_split(text, ' ')) - {n - 2}), "
+            f"i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by text hash: keep min doc_id per group, report
+    group size (hash-groupBy; map-side partial agg)."""
+    return (docs.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def exact_dedup_oracle_sql(docs_tbl: str = "documents") -> str:
+    return f"""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM {docs_tbl} GROUP BY md5(text)
+    """
+
+
+def minhash_signatures(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
+    """Per-doc MinHash signature over word n-grams: h_j = min over
+    shingles of md5(j || '|' || shingle), j = 0..N_HASHES-1."""
+    g = docs.where(F.size(F.split("text", " ")) >= n_gram).select(
+        "doc_id", F.explode(F.expr(_gram_expr(n_gram))).alias("gram"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("gram"))))
+            .alias(f"h{j}") for j in range(N_HASHES)]
+    return g.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_oracle_sql(docs_tbl: str = "documents",
+                                  n_gram: int = NGRAM) -> str:
+    aggs = ", ".join(
+        f"min(md5('{j}|' || gram)) AS h{j}" for j in range(N_HASHES))
+    return f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_grams_sql(n_gram)}) AS gram
+      FROM {docs_tbl}
+      WHERE len(string_split(text, ' ')) >= {n_gram})
+    SELECT doc_id, {aggs} FROM g GROUP BY doc_id
+    """
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band
+    (band = concat of 2 adjacent minhashes). Equi-join on band value."""
+    sig = minhash_signatures(docs)
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("sig"))
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(F.col("doc_id").alias("a"), "band", "sig")
+    right = bands.select(F.col("doc_id").alias("b"), "band", "sig")
+    return (left.join(right, ["band", "sig"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def minhash_lsh_pairs_oracle_sql(docs_tbl: str = "documents") -> str:
+    sig = minhash_signatures_oracle_sql(docs_tbl)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM sig"
+        for b in range(N_BANDS))
+    return f"""
+    WITH sig AS ({sig}),
+    bands AS ({band_selects})
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+    WHERE l.doc_id < r.doc_id
+    """
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over word tokens (md5-derived bit planes; bit b
+    of a token = bit (3 - b%4) of hex nibble b//4). 60 bits keeps the
+    signature positive in a 64-bit signed long on every engine."""
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .withColumn("h", F.md5("tok")))
+    b = (toks.select("doc_id", "h",
+                     F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+         .withColumn("nib", F.expr(
+             "instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1"))
+         .withColumn("bit", F.expr(
+             "shiftright(nib, 3 - CAST(b % 4 AS INT)) & 1"))
+         .withColumn("w", F.col("bit") * 2 - 1))
+    votes = b.groupBy("doc_id", "b").agg(F.sum("w").alias("v"))
+    return (votes.withColumn(
+        "contrib",
+        F.when(F.col("v") > 0,
+               F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({bits} - 1 - b AS INT))")
+               ).otherwise(F.lit(0)))
+        .groupBy("doc_id").agg(F.sum("contrib").alias("simhash")))
+
+
+def simhash_oracle_sql(docs_tbl: str = "documents", bits: int = 60) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      FROM {docs_tbl}),
+    tb AS (
+      SELECT doc_id, h, unnest(range(0, {bits})) AS b FROM toks),
+    bitsq AS (
+      SELECT doc_id, b,
+             ((instr('0123456789abcdef',
+                     substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+              >> (3 - CAST(b % 4 AS INT))) & 1 AS bit
+      FROM tb),
+    votes AS (
+      SELECT doc_id, b, SUM(bit * 2 - 1) AS v FROM bitsq GROUP BY doc_id, b)
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0
+                    THEN (CAST(1 AS BIGINT) << CAST({bits} - 1 - b AS INT))
+                    ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """
+
+
+def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
+    """For each doc: its max-Jaccard neighbor over word-n-gram sets
+    (candidates = docs sharing >= 1 gram). Deterministic tie-break
+    (jaccard DESC, neighbor ASC). Integer set sizes -> exact ratios."""
+    g = (docs.where(F.size(F.split("text", " ")) >= n_gram)
+         .select("doc_id", F.explode(F.expr(_gram_expr(n_gram))).alias("gram"))
+         .distinct())
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (g.alias("l").join(g.alias("r"), "gram")
+             .where(F.col("l.doc_id") != F.col("r.doc_id"))
+             .groupBy(F.col("l.doc_id").alias("a"),
+                      F.col("r.doc_id").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    j = (pairs
+         .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+         .withColumn("jaccard",
+                     F.col("inter").cast("double")
+                     / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")))
+    w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
+    return (j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select(F.col("a").alias("doc_id"), F.col("b").alias("neighbor_id"),
+                    "jaccard"))
+
+
+def ngram_jaccard_top1_oracle_sql(docs_tbl: str = "documents",
+                                  n_gram: int = NGRAM) -> str:
+    return f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, unnest({_grams_sql(n_gram)}) AS gram
+      FROM {docs_tbl}
+      WHERE len(string_split(text, ' ')) >= {n_gram}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id <> r.doc_id
+      GROUP BY l.doc_id, r.doc_id),
+    j AS (
+      SELECT p.a, p.b,
+             CAST(p.inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.a
+      JOIN sizes sb ON sb.doc_id = p.b),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY a ORDER BY jaccard DESC, b ASC) AS rn FROM j)
+    SELECT a AS doc_id, b AS neighbor_id, jaccard FROM ranked WHERE rn = 1
+    """

@@ -1,0 +1,368 @@
+"""Hydrological operators: FillDepressions (priority-flood) and D8
+flow accumulation (pointer + topological accumulation).
+
+Two execution paths, per SURVEY.md §2.5 / §7:
+
+- **exact path** (small rasters / oracle): a faithful replay of the
+  reference algorithms, incl. its quirks — run inside one Spark
+  partition via applyInPandas so golden fixture parity holds:
+  * fillDepressions.go:162-341: edge-seeded priority flood, priority
+    key int64(int64(z*10^(8-digits))*100000 + flatindex%100000),
+    epsilon-gradient SMALL_NUM = 10^-(8-digits) when fixFlats
+    (fillDepressions.go:216-222, 286-322). The seed-push priority uses
+    the *last examined* neighbor value zN (a reference quirk at
+    fillDepressions.go:262 — zN, not z), reproduced bit-for-bit.
+    Ties replay identically because ReferenceHeap mirrors the 1-indexed
+    binary heap with strict-> comparisons (breachDepressions.go:972-1016).
+  * d8FlowAccumulation.go:182-313: steepest-descent pointer
+    (first-max-wins over n=0..7, dist=[diag,cx,diag,cy,...]), FIFO
+    topological sweep, init value 1.
+
+- **distributed path** (the 100 TB design): D8 accumulation is
+  *order-independent* (integer sums along a forest), so a tile-local
+  topological solve + inter-tile inflow fixpoint produces bit-identical
+  results to the sequential replay. Each round is one cogrouped
+  applyInPandas over (ty,tx); inflows grow monotonically and converge
+  in <= (longest flow path / tile size) rounds. Per-round metrics
+  (changed inflows, total mass) support checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from go_spatial_spark.grid import NODATA, RasterMeta, run_stencil
+
+DX = (1, 1, 1, 0, -1, -1, -1, 0)
+DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+
+class ReferenceHeap:
+    """1-indexed binary min-heap replicating the reference PQueue's
+    swim/sink comparison order (strict >), so pop order matches the Go
+    implementation even among equal priorities."""
+
+    def __init__(self):
+        self.prio: list[int] = [0]  # index 0 unused
+        self.val: list[tuple] = [None]
+        self.n = 0
+
+    def push(self, value, priority: int):
+        self.prio.append(priority)
+        self.val.append(value)
+        self.n += 1
+        k = self.n
+        p, v = self.prio, self.val
+        while k > 1 and p[k // 2] > p[k]:
+            p[k // 2], p[k] = p[k], p[k // 2]
+            v[k // 2], v[k] = v[k], v[k // 2]
+            k //= 2
+
+    def pop(self):
+        p, v = self.prio, self.val
+        out = v[1]
+        p[1], v[1] = p[self.n], v[self.n]
+        del p[self.n], v[self.n]
+        self.n -= 1
+        k = 1
+        while 2 * k <= self.n:
+            j = 2 * k
+            if j < self.n and p[j] > p[j + 1]:
+                j += 1
+            if not p[k] > p[j]:
+                break
+            p[k], p[j] = p[j], p[k]
+            v[k], v[j] = v[j], v[k]
+            k = j
+        return out
+
+    def __len__(self):
+        return self.n
+
+
+def fill_depressions_np(dem: np.ndarray, fix_flats: bool = True,
+                        nodata: float = NODATA) -> np.ndarray:
+    """Exact NumPy/heap replay of fillDepressions.go:162-341."""
+    rows, cols = dem.shape
+    valid = dem != nodata
+    mn = dem[valid].min()
+    mx = dem[valid].max()
+    elev_digits = len(str(int(mx - mn)))
+    mult = math.pow(10, float(8 - elev_digits))
+    small = 1.0 / mult if fix_flats else 0.0
+
+    out = np.full_like(dem, nodata)
+    in_queue = np.zeros((rows + 2, cols + 2), dtype=bool)
+    heap = ReferenceHeap()
+    num_solved = 0
+    num_total = rows * cols
+
+    def val(r, c):
+        if 0 <= r < rows and 0 <= c < cols:
+            return dem[r, c]
+        return nodata
+
+    # seed: edge cells (any NoData/out-of-grid neighbor). Priority uses
+    # the *last* zN examined (neighbor 7 = north) — reference quirk.
+    for row in range(rows):
+        for col in range(cols):
+            z = dem[row, col]
+            if z != nodata:
+                is_edge = False
+                zn = z
+                for n in range(8):
+                    zn = val(row + DY[n], col + DX[n])
+                    if zn == nodata:
+                        is_edge = True
+                if is_edge:
+                    p = int(int(zn * mult)) * 100000
+                    heap.push((row, col, 0), p)
+                    in_queue[row + 1, col + 1] = True
+                    out[row, col] = z
+                    num_solved += 1
+            else:
+                num_solved += 1
+
+    while num_solved < num_total:
+        row, col, flatindex = heap.pop()
+        z = out[row, col]
+        for i in range(8):
+            rn, cn = row + DY[i], col + DX[i]
+            zn = val(rn, cn)
+            if zn != nodata and not in_queue[rn + 1, cn + 1]:
+                n = 0
+                if zn <= z:
+                    zn = z + small
+                    n = flatindex + 1
+                num_solved += 1
+                out[rn, cn] = zn
+                p = int(int(zn * mult)) * 100000 + (n % 100000)
+                heap.push((rn, cn, n), p)
+                in_queue[rn + 1, cn + 1] = True
+    return out
+
+
+def fill_depressions(grid: DataFrame, meta: RasterMeta,
+                     fix_flats: bool = True) -> DataFrame:
+    """Exact single-partition path: the whole raster is one pandas
+    group (documented small-raster constraint; the tiled-fixpoint
+    variant is the scale path, see module docstring)."""
+    rows, cols, nodata = meta.rows, meta.cols, meta.nodata
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        dem = np.full((rows, cols), nodata, dtype=np.float64)
+        dem[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = (
+            pdf["value"].to_numpy())
+        out = fill_depressions_np(dem, fix_flats=fix_flats, nodata=nodata)
+        rr, cc = np.nonzero(out != nodata)
+        return pd.DataFrame({"row": rr.astype(np.int32),
+                             "col": cc.astype(np.int32),
+                             "filled": out[rr, cc]})
+
+    return (grid.repartition(1)
+            .mapInPandas(lambda it: [solve(pd.concat(list(it)))],
+                         schema="row int, col int, filled double"))
+
+
+# ---------------------------------------------------------------------------
+# D8 pointer + flow accumulation
+# ---------------------------------------------------------------------------
+
+def d8_pointer_np(dem: np.ndarray, meta: RasterMeta,
+                  nodata: float = NODATA) -> np.ndarray:
+    """Pointer grid (0 = no downslope, 1..8 = n+1); -1 marks NoData.
+    Exact replica of d8FlowAccumulation.go:197-236 (first-max-wins)."""
+    cx, cy = meta.cellsize_x, meta.cellsize_y
+    diag = math.sqrt(cx * cx + cy * cy)
+    dist = (diag, cx, diag, cy, diag, cx, diag, cy)
+    rows, cols = dem.shape
+    valid = dem != nodata
+    zpad = np.full((rows + 2, cols + 2), nodata)
+    zpad[1:-1, 1:-1] = dem
+    max_slope = np.full(dem.shape, -np.inf)
+    direction = np.zeros(dem.shape, dtype=np.int8)
+    for n in range(8):
+        zn = zpad[1 + DY[n]:1 + DY[n] + rows, 1 + DX[n]:1 + DX[n] + cols]
+        nv = zn != nodata
+        with np.errstate(invalid="ignore"):
+            slope = (dem - zn) / dist[n]
+        better = nv & (slope > max_slope)
+        max_slope = np.where(better, slope, max_slope)
+        direction = np.where(better, n + 1, direction)
+    direction = np.where(max_slope > 0, direction, 0)
+    out = np.where(valid, direction.astype(np.float64), -1.0)
+    return out
+
+
+def d8_pointer_kernel(padded: np.ndarray, halo: int, ctx) -> np.ndarray:
+    """Tile kernel: same pointer math with halo-1 neighbor access.
+    NoData centers -> meta.nodata so tiles_to_long drops them."""
+    nodata = ctx.meta.nodata
+    h = padded.shape[0] - 2 * halo
+    w = padded.shape[1] - 2 * halo
+    c = padded[halo:halo + h, halo:halo + w]
+    cx, cy = ctx.meta.cellsize_x, ctx.meta.cellsize_y
+    diag = math.sqrt(cx * cx + cy * cy)
+    dist = (diag, cx, diag, cy, diag, cx, diag, cy)
+    max_slope = np.full(c.shape, -np.inf)
+    direction = np.zeros(c.shape, dtype=np.int8)
+    for n in range(8):
+        zn = padded[halo + DY[n]:halo + DY[n] + h,
+                    halo + DX[n]:halo + DX[n] + w]
+        nv = zn != nodata
+        with np.errstate(invalid="ignore"):
+            slope = (c - zn) / dist[n]
+        better = nv & (slope > max_slope)
+        max_slope = np.where(better, slope, max_slope)
+        direction = np.where(better, n + 1, direction)
+    direction = np.where(max_slope > 0, direction, 0)
+    return np.where(c != nodata, direction.astype(np.float64), nodata)
+
+
+def d8_accum_np(dem: np.ndarray, meta: RasterMeta,
+                nodata: float = NODATA) -> np.ndarray:
+    """FIFO topological replay (d8FlowAccumulation.go:240-313).
+    Output = accumulation at valid cells, NoData elsewhere."""
+    rows, cols = dem.shape
+    ptr = d8_pointer_np(dem, meta, nodata)
+    valid = ptr >= 0
+    indeg = np.zeros(dem.shape, dtype=np.int32)
+    for r in range(rows):
+        for c in range(cols):
+            d = int(ptr[r, c])
+            if d > 0:
+                indeg[r + DY[d - 1], c + DX[d - 1]] += 1
+    acc = np.where(valid, 1.0, nodata)
+    from collections import deque
+    q = deque((r, c) for r in range(rows) for c in range(cols)
+              if valid[r, c] and indeg[r, c] == 0)
+    while q:
+        r, c = q.popleft()
+        d = int(ptr[r, c])
+        if d > 0:
+            rn, cn = r + DY[d - 1], c + DX[d - 1]
+            acc[rn, cn] += acc[r, c]
+            indeg[rn, cn] -= 1
+            if indeg[rn, cn] == 0:
+                q.append((rn, cn))
+    return np.where(valid, acc, nodata)
+
+
+def _tile_solve(dirs: np.ndarray, ext_in: np.ndarray, nodata: float):
+    """Topological accumulation inside one tile given external inflows.
+    Returns (acc array, list of (d_row_off, d_col_off, lrow, lcol, contrib)
+    outflow records in local coords + direction offsets)."""
+    h, w = dirs.shape
+    valid = dirs >= 0
+    acc = np.where(valid, 1.0 + ext_in, 0.0)
+    indeg = np.zeros((h, w), dtype=np.int32)
+    # internal receivers
+    d = dirs.astype(np.int32)
+    for n in range(8):
+        src = valid & (d == n + 1)
+        rr, cc = np.nonzero(src)
+        tr, tc = rr + DY[n], cc + DX[n]
+        inside = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < w)
+        np.add.at(indeg, (tr[inside], tc[inside]), 1)
+    # topological sweep (python loop over tile cells)
+    stack = list(zip(*np.nonzero(valid & (indeg == 0))))
+    outflows = []
+    while stack:
+        r, c = stack.pop()
+        k = d[r, c]
+        if k > 0:
+            rn, cn = r + DY[k - 1], c + DX[k - 1]
+            if 0 <= rn < h and 0 <= cn < w:
+                acc[rn, cn] += acc[r, c]
+                indeg[rn, cn] -= 1
+                if indeg[rn, cn] == 0:
+                    stack.append((rn, cn))
+            else:
+                outflows.append((rn, cn, acc[r, c]))
+    return acc, outflows
+
+
+def d8_flow_accum(dem_tiles: DataFrame, meta: RasterMeta, tile: int = 256,
+                  max_rounds: int = 64) -> DataFrame:
+    """Distributed D8 accumulation: tile-local topo solve + inter-tile
+    inflow fixpoint. Exact (integer sums are order-independent).
+
+    Each round: cogroup(pointer tiles, inflows) -> applyInPandas ->
+    outflow records -> groupBy(dest cell).sum -> next inflows.
+    Converges when the inflow multiset stops changing (monotone,
+    bounded); the inflow table is tiny (boundary cells only).
+    """
+    spark = dem_tiles.sparkSession
+    nodata = meta.nodata
+    ptr_tiles = run_stencil(dem_tiles, meta, d8_pointer_kernel,
+                            halo=1, tile=tile).cache()
+    ptr_tiles.count()
+
+    inflow_schema = "row int, col int, inflow double"
+    inflows = spark.createDataFrame([], inflow_schema)
+
+    def make_rounder(emit_acc: bool):
+        def fn(key, ptr_pdf: pd.DataFrame, in_pdf: pd.DataFrame):
+            ty, tx = int(key[0]), int(key[1])
+            if ptr_pdf.empty:
+                return pd.DataFrame(
+                    columns=["row", "col", "v"]).astype(
+                        {"row": "int32", "col": "int32", "v": "float64"})
+            t = ptr_pdf.iloc[0]
+            h, w = int(t.h), int(t.w)
+            dirs = np.frombuffer(t.data, dtype=np.float64).reshape(h, w)
+            dirs = np.where(dirs == nodata, -1.0, dirs)
+            ext = np.zeros((h, w))
+            if not in_pdf.empty:
+                lr = in_pdf["row"].to_numpy() - ty * tile
+                lc = in_pdf["col"].to_numpy() - tx * tile
+                ext[lr, lc] = in_pdf["inflow"].to_numpy()
+            acc, outs = _tile_solve(dirs, ext, nodata)
+            if emit_acc:
+                rr, cc = np.nonzero(dirs >= 0)
+                return pd.DataFrame({
+                    "row": (rr + ty * tile).astype(np.int32),
+                    "col": (cc + tx * tile).astype(np.int32),
+                    "v": acc[rr, cc]})
+            if not outs:
+                return pd.DataFrame(
+                    columns=["row", "col", "v"]).astype(
+                        {"row": "int32", "col": "int32", "v": "float64"})
+            o = np.array(outs)
+            return pd.DataFrame({
+                "row": (o[:, 0] + ty * tile).astype(np.int32),
+                "col": (o[:, 1] + tx * tile).astype(np.int32),
+                "v": o[:, 2]})
+        return fn
+
+    out_schema = "row int, col int, v double"
+    prev_sig = (-1, -1.0)
+    for _ in range(max_rounds):
+        with_keys = inflows.withColumn(
+            "ty", (F.col("row") / tile).cast("int")).withColumn(
+            "tx", (F.col("col") / tile).cast("int"))
+        outflow = (ptr_tiles.groupBy("ty", "tx")
+                   .cogroup(with_keys.groupBy("ty", "tx"))
+                   .applyInPandas(make_rounder(False), schema=out_schema))
+        new_inflows = (outflow.groupBy("row", "col")
+                       .agg(F.sum("v").alias("inflow"))).cache()
+        sig_row = new_inflows.agg(
+            F.count("*"), F.coalesce(F.sum("inflow"), F.lit(0.0))).first()
+        sig = (sig_row[0], float(sig_row[1]))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        inflows = new_inflows
+
+    with_keys = inflows.withColumn(
+        "ty", (F.col("row") / tile).cast("int")).withColumn(
+        "tx", (F.col("col") / tile).cast("int"))
+    acc = (ptr_tiles.groupBy("ty", "tx")
+           .cogroup(with_keys.groupBy("ty", "tx"))
+           .applyInPandas(make_rounder(True), schema=out_schema))
+    return acc.select("row", "col", F.col("v").alias("accum"))

@@ -1,0 +1,145 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+- brute-force cosine top-k: the exactness baseline. Dot products are
+  computed as a *left fold* (F.aggregate) so the summation order is
+  fixed and identical to the DuckDB oracle's list_reduce — bit-equal
+  doubles, deterministic ranking.
+- IVF-bucketed ANN: deterministic coarse quantizer (the first C
+  vectors by vec_id are the centroids — no kmeans nondeterminism),
+  nprobe buckets searched. Approximate by design but fully
+  deterministic, so it also gets an exact oracle.
+
+At scale the brute-force path is the broadcast side of a cross join
+(queries broadcast, corpus partitioned); IVF turns that into an
+equi-join on bucket id — the shuffle-light path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    """Left-fold dot product with fixed order: identical in DuckDB's
+    list_reduce (0.0 + e1 + e2 ... in element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+_DOT_SQL = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "__p -> CAST(__p[1] AS DOUBLE) * CAST(__p[2] AS DOUBLE)), "
+            "(__x, __y) -> __x + __y)")
+_NORM2_SQL = ("list_reduce(list_transform({a}, "
+              "__e -> CAST(__e AS DOUBLE) * CAST(__e AS DOUBLE)), "
+              "(__x, __y) -> __x + __y)")
+
+
+def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact self top-k by cosine similarity (vec_id, neighbor_id,
+    rank, cos). Ties broken by neighbor id; cos is bit-deterministic."""
+    q = emb.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("nid"),
+                   F.col("embedding").alias("ne"))
+    pairs = q.crossJoin(c).where(F.col("qid") != F.col("nid"))
+    cos = (_dot(F.col("qe"), F.col("ne"))
+           / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(_norm2(F.col("ne")))))
+    scored = pairs.select("qid", "nid", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("vec_id"),
+                    F.col("nid").alias("neighbor_id"),
+                    F.col("rank").cast("int").alias("rank"), "cos"))
+
+
+def cosine_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5) -> str:
+    dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    nq = _NORM2_SQL.format(a="q.embedding")
+    nc = _NORM2_SQL.format(a="c.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             {dot} / (sqrt({nq}) * sqrt({nc})) AS cos
+      FROM {emb_tbl} q JOIN {emb_tbl} c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 2) -> DataFrame:
+    """IVF ANN: centroids = embeddings of the n_centroids smallest
+    vec_ids; every vector is assigned to its nearest centroid (by the
+    same fold-dot cosine); queries probe their nprobe nearest buckets.
+    Bucket assignment join is an equi-join on centroid id."""
+    cents = emb.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cos_vc = (_dot(F.col("embedding"), F.col("ce"))
+              / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("ce")))))
+    assign_all = (emb.crossJoin(F.broadcast(cents))
+                  .select("vec_id", "embedding", "cid", cos_vc.alias("cc")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    ranked = assign_all.withColumn("arn", F.row_number().over(w_assign))
+    buckets = ranked.where(F.col("arn") == 1).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), "cid")
+    probes = ranked.where(F.col("arn") <= nprobe).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid")
+    cand = probes.join(buckets, "cid").where(F.col("qid") != F.col("nid"))
+    cos = (_dot(F.col("qe"), F.col("ne"))
+           / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(_norm2(F.col("ne")))))
+    scored = cand.select("qid", "nid", cos.alias("cos")).distinct()
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("vec_id"),
+                    F.col("nid").alias("neighbor_id"),
+                    F.col("rank").cast("int").alias("rank"), "cos"))
+
+
+def ivf_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
+                        n_centroids: int = 16, nprobe: int = 2) -> str:
+    dot_ec = _DOT_SQL.format(a="e.embedding", b="c.ce")
+    ne_ = _NORM2_SQL.format(a="e.embedding")
+    nc_ = _NORM2_SQL.format(a="c.ce")
+    dot_qn = _DOT_SQL.format(a="q.qe", b="n.ne")
+    nq2 = _NORM2_SQL.format(a="q.qe")
+    nn2 = _NORM2_SQL.format(a="n.ne")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM {emb_tbl}
+      ORDER BY vec_id LIMIT {n_centroids}),
+    assign_all AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {dot_ec} / (sqrt({ne_}) * sqrt({nc_})) AS cc
+      FROM {emb_tbl} e CROSS JOIN cents c),
+    ranked_a AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS arn
+      FROM assign_all),
+    buckets AS (
+      SELECT vec_id AS nid, embedding AS ne, cid FROM ranked_a WHERE arn = 1),
+    probes AS (
+      SELECT vec_id AS qid, embedding AS qe, cid FROM ranked_a
+      WHERE arn <= {nprobe}),
+    scored AS (
+      SELECT DISTINCT q.qid, n.nid,
+             {dot_qn} / (sqrt({nq2}) * sqrt({nn2})) AS cos
+      FROM probes q JOIN buckets n ON q.cid = n.cid AND q.qid <> n.nid),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM scored)
+    SELECT qid AS vec_id, nid AS neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= {k}
+    """

@@ -1,0 +1,225 @@
+"""Spatial joins: point-in-polygon, kNN, raster<->vector conversion.
+
+The reference's latent spatial-index primitive is the k-d tree range
+search (/root/reference/structures/kdtree.go:77-105, unused by tools);
+here the same capability is Spark-native:
+
+- PIP  = broadcast polygon set + bbox/cell-prefix prune (Catalyst pushes
+  the range predicates to the scan) + exact ray-casting refine inside a
+  vectorized pandas UDF.
+- kNN  = cell-ring expansion: coarse-grid self-join on the 3x3 ring
+  (bounded candidates per query), with a guarantee test
+  (kth-distance <= ring radius) and an exact brute-force fallback for
+  the unresolved remainder (sparse regions; tiny at scale).
+
+At 100 TB the PIP prune is what matters: the refine UDF sees only
+bbox-candidate rows. The kNN ring join shuffles on the coarse cell key,
+which the geocoder's hotspot skew stresses — AQE skew-join plus the
+bounded 3x3 candidate set keep partitions sane.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+# (lon, lat) integer vertices; ring closes last->first. Mix of convex,
+# concave, triangle, sliver, nested box pair (FIXTURES.md §5).
+POLYGONS: dict[int, list[tuple[float, float]]] = {
+    1: [(-85, 40), (-75, 40), (-74, 45), (-79, 47), (-86, 44)],  # hotspot cover
+    2: [(0, -10), (25, -10), (25, 15), (12, 1), (0, 15)],        # concave
+    3: [(-150, -60), (-100, -55), (-120, -20)],                  # triangle
+    4: [(100, 10), (140, 11), (100, 12)],                        # sliver
+    5: [(60, 30), (90, 30), (90, 60), (60, 60)],                 # outer box
+    6: [(70, 40), (80, 40), (80, 50), (70, 50)],                 # inner box
+}
+
+
+def polygon_edges(pid: int):
+    ring = POLYGONS[pid]
+    return [(ring[i][0], ring[i][1], ring[(i + 1) % len(ring)][0],
+             ring[(i + 1) % len(ring)][1]) for i in range(len(ring))]
+
+
+def _ray_cast_np(px: np.ndarray, py: np.ndarray, pid: int) -> np.ndarray:
+    """Crossing-number parity, identical expression to the SQL oracle:
+    ((y1>py) != (y2>py)) AND (px < (x2-x1)*(py-y1)/(y2-y1)+x1)."""
+    inside = np.zeros(px.shape[0], dtype=np.int64)
+    # horizontal edges divide by zero, but the crossing test is already
+    # False there ((y1>py) == (y2>py)) — mask the warning only
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for x1, y1, x2, y2 in polygon_edges(pid):
+            crosses = ((y1 > py) != (y2 > py)) & (
+                px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
+            inside += crosses.astype(np.int64)
+    return (inside % 2) == 1
+
+
+def point_in_polygon(points: DataFrame, spark,
+                     id_col: str = "doc_id") -> DataFrame:
+    """points(id, lon, lat) -> (id, polygon_id) membership pairs.
+
+    Plan shape: broadcast(polygon bboxes) range-join [prune] ->
+    pandas-UDF ray cast [refine]. The bbox predicate is pushed into the
+    scan side by Catalyst; the UDF sees candidates only.
+    """
+    bbox_rows = []
+    for pid, ring in POLYGONS.items():
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        bbox_rows.append((pid, float(min(xs)), float(max(xs)),
+                          float(min(ys)), float(max(ys))))
+    bboxes = spark.createDataFrame(
+        bbox_rows, "polygon_id int, minx double, maxx double, miny double, maxy double")
+
+    cand = points.join(
+        F.broadcast(bboxes),
+        (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy")),
+        "inner",
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        px = lon.to_numpy(dtype=np.float64)
+        py = lat.to_numpy(dtype=np.float64)
+        ids = pid.to_numpy()
+        for p in np.unique(ids):
+            m = ids == p
+            out[m] = _ray_cast_np(px[m], py[m], int(p))
+        return pd.Series(out)
+
+    return (cand.where(refine(F.col("lon"), F.col("lat"), F.col("polygon_id")))
+            .select(F.col(id_col), F.col("polygon_id")))
+
+
+def pip_oracle_sql(points_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB brute-force PIP over the same inline polygon set."""
+    edge_rows = []
+    for pid in POLYGONS:
+        for x1, y1, x2, y2 in polygon_edges(pid):
+            edge_rows.append(f"({pid}, {x1}.0, {y1}.0, {x2}.0, {y2}.0)")
+    edges = ",\n      ".join(edge_rows)
+    return f"""
+    WITH pts AS ({points_sql}),
+    edges(polygon_id, x1, y1, x2, y2) AS (VALUES
+      {edges}
+    ),
+    crossings AS (
+      SELECT p.{id_col}, e.polygon_id,
+             SUM(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                       AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                    / (e.y2 - e.y1) + e.x1)
+                 THEN 1 ELSE 0 END) AS n
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.{id_col}, e.polygon_id
+    )
+    SELECT {id_col}, polygon_id FROM crossings WHERE n % 2 = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# kNN via cell-ring expansion
+# ---------------------------------------------------------------------------
+
+def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
+             id_col: str = "doc_id") -> DataFrame:
+    """Exact self-kNN (id, neighbor_id, rank), rank 1..k by (dist2, id).
+
+    Stage 1: coarse-grid 3x3 ring join (bounded candidates).
+    Stage 2: queries whose kth candidate distance > cell_size (no
+    guarantee) or with < k candidates fall back to an exact broadcast
+    brute force — at web scale this remainder is the sparse tail.
+    """
+    g = points.select(
+        F.col(id_col).alias("qid"), F.col("lon").alias("qx"), F.col("lat").alias("qy"),
+        F.floor(F.col("lon") / cell_size).alias("qgx"),
+        F.floor(F.col("lat") / cell_size).alias("qgy"))
+    p = points.select(
+        F.col(id_col).alias("nid"), F.col("lon").alias("nx"), F.col("lat").alias("ny"),
+        F.floor(F.col("lon") / cell_size).alias("ngx"),
+        F.floor(F.col("lat") / cell_size).alias("ngy"))
+
+    ring = g.join(
+        p,
+        (F.col("ngx") >= F.col("qgx") - 1) & (F.col("ngx") <= F.col("qgx") + 1)
+        & (F.col("ngy") >= F.col("qgy") - 1) & (F.col("ngy") <= F.col("qgy") + 1)
+        & (F.col("nid") != F.col("qid")),
+        "inner",
+    ).withColumn(
+        "dist2",
+        (F.col("nx") - F.col("qx")) * (F.col("nx") - F.col("qx"))
+        + (F.col("ny") - F.col("qy")) * (F.col("ny") - F.col("qy")))
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist2"), F.col("nid"))
+    topk = ring.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    # guarantee: any point outside the 3x3 ring is >= cell_size away
+    per_q = topk.groupBy("qid").agg(F.count("*").alias("n"),
+                                    F.max("dist2").alias("kth"))
+    resolved_ids = per_q.where(
+        (F.col("n") == k) & (F.col("kth") <= F.lit(cell_size * cell_size)))
+    resolved = topk.join(resolved_ids.select("qid"), "qid", "left_semi")
+
+    unresolved_q = g.join(resolved_ids.select("qid"), "qid", "left_anti")
+    brute = F.broadcast(unresolved_q).join(
+        p.drop("ngx", "ngy"), F.col("nid") != F.col("qid"), "inner"
+    ).withColumn(
+        "dist2",
+        (F.col("nx") - F.col("qx")) * (F.col("nx") - F.col("qx"))
+        + (F.col("ny") - F.col("qy")) * (F.col("ny") - F.col("qy")))
+    brute_topk = brute.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k)
+
+    cols = [F.col("qid").alias(id_col), F.col("nid").alias("neighbor_id"),
+            F.col("rank"), F.col("dist2")]
+    return resolved.select(*cols).unionByName(brute_topk.select(*cols))
+
+
+def knn_oracle_sql(points_sql: str, k: int = 5, id_col: str = "doc_id") -> str:
+    return f"""
+    WITH pts AS ({points_sql}),
+    pairs AS (
+      SELECT q.{id_col} AS {id_col}, n.{id_col} AS neighbor_id,
+             (n.lon - q.lon) * (n.lon - q.lon)
+             + (n.lat - q.lat) * (n.lat - q.lat) AS dist2
+      FROM pts q JOIN pts n ON n.{id_col} <> q.{id_col}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {id_col} ORDER BY dist2, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT {id_col}, neighbor_id, CAST(rank AS INT) AS rank, dist2
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector
+# ---------------------------------------------------------------------------
+
+def raster_to_vector_points(grid: DataFrame, meta) -> DataFrame:
+    """Long-form grid -> point table at cell centers (the
+    RasterToVectorPoints semantics named in BASELINE.json#north_star;
+    coordinate mapping per raster.go:383-399 pixel-is-area)."""
+    x = F.lit(meta.west) + (F.col("col") + F.lit(0.5)) * F.lit(meta.cellsize_x)
+    y = F.lit(meta.north) - (F.col("row") + F.lit(0.5)) * F.lit(meta.cellsize_y)
+    return grid.select(x.alias("x"), y.alias("y"), F.col("value"))
+
+
+def vector_points_to_raster(points: DataFrame, meta,
+                            agg: str = "max") -> DataFrame:
+    """Point table -> long-form grid; cells aggregate colliding points
+    (VectorPointsToRaster semantics). Out-of-bounds points are dropped."""
+    row = F.floor((F.lit(meta.north) - F.col("y")) / F.lit(meta.cellsize_y))
+    col = F.floor((F.col("x") - F.lit(meta.west)) / F.lit(meta.cellsize_x))
+    df = points.select(row.cast("int").alias("row"),
+                       col.cast("int").alias("col"), "value")
+    df = df.where((F.col("row") >= 0) & (F.col("row") < meta.rows)
+                  & (F.col("col") >= 0) & (F.col("col") < meta.cols))
+    agg_fn = {"max": F.max, "min": F.min, "sum": F.sum,
+              "count": F.count}[agg]
+    return df.groupBy("row", "col").agg(agg_fn("value").alias("value"))

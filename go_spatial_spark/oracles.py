@@ -1,0 +1,197 @@
+"""DuckDB oracle-SQL builders for the grid (stencil/window) operators.
+
+Each builder returns ANSI SQL that DuckDB evaluates over the same
+deterministic synthetic DEM (synthetic_dem_sql) with floating-point
+expressions in the *identical order* as the NumPy kernels, so value
+hashes match (exactly for the pure-arithmetic ops; after round(.,4)
+for the transcendental ones, where libm implementations may differ in
+the last ulp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from go_spatial_spark.grid import synthetic_dem_sql
+
+# neighbor offset table (n, dy, dx) — slope.go:198-199 convention
+_OFFSETS = [(0, -1, 1), (1, 0, 1), (2, 1, 1), (3, 1, 0),
+            (4, 1, -1), (5, 0, -1), (6, -1, -1), (7, -1, 0)]
+
+
+def _nb_cte(dem_sql: str) -> str:
+    """CTE computing z plus N0..N7 (NoData/out-of-grid -> center z,
+    slope.go:208-215)."""
+    vals = ", ".join(f"({n}, {dy}, {dx})" for n, dy, dx in _OFFSETS)
+    ncols = ", ".join(
+        f"max(CASE WHEN o.n = {n} THEN COALESCE(x.value, c.value) END) AS n{n}"
+        for n, _, _ in _OFFSETS)
+    return f"""
+    dem AS ({dem_sql}),
+    nb AS (
+      SELECT c.row, c.col, c.value AS z, {ncols}
+      FROM dem c
+      CROSS JOIN (VALUES {vals}) o(n, dy, dx)
+      LEFT JOIN dem x ON x.row = c.row + o.dy AND x.col = c.col + o.dx
+      GROUP BY c.row, c.col, c.value),
+    grad AS (
+      SELECT row, col, z,
+             (n6 - n4 + 2 * (n7 - n3) + n0 - n2) / 8.0 AS fy,
+             (n2 - n4 + 2 * (n1 - n5) + n0 - n6) / 8.0 AS fx
+      FROM nb)
+    """
+
+
+def slope_sql(rows: int, cols: int) -> str:
+    return f"""
+    WITH {_nb_cte(synthetic_dem_sql(rows, cols))}
+    SELECT row, col,
+           round(atan(sqrt(fx * fx + fy * fy)) * (180.0 / pi()), 4) AS slope
+    FROM grad
+    """
+
+
+def aspect_sql(rows: int, cols: int) -> str:
+    return f"""
+    WITH {_nb_cte(synthetic_dem_sql(rows, cols))}
+    SELECT row, col,
+           CASE WHEN fx <> 0
+                THEN round(180 - atan(fy / fx) * (180.0 / pi())
+                           + 90 * (fx / abs(fx)), 4)
+                ELSE -1.0 END AS aspect
+    FROM grad
+    """
+
+
+def hillshade_sql(rows: int, cols: int) -> str:
+    sin_t = repr(float(np.sin(30.0 * np.pi / 180.0)))
+    cos_t = repr(float(np.cos(30.0 * np.pi / 180.0)))
+    azimuth = repr(float((315.0 - 90.0) * np.pi / 180.0))
+    d2r = "(pi() / 180.0)"
+    return f"""
+    WITH {_nb_cte(synthetic_dem_sql(rows, cols))},
+    hs AS (
+      SELECT row, col,
+        CASE WHEN fx <> 0 THEN
+          (sqrt(fx * fx + fy * fy) / sqrt(1 + (fx * fx + fy * fy)))
+          * ({sin_t} / sqrt(fx * fx + fy * fy)
+             - {cos_t} * sin({azimuth}
+                 - (180 - atan(fy / fx) * (180.0 / pi())
+                    + 90 * (fx / abs(fx))) * {d2r}))
+        ELSE 0.5 END AS zz
+      FROM grad)
+    SELECT row, col,
+           CASE WHEN floor(zz * 255) < 0 THEN 0.0
+                ELSE floor(zz * 255) END AS shade
+    FROM hs
+    """
+
+
+def mean_filter_sql(rows: int, cols: int, rx: int = 2, ry: int = 2) -> str:
+    dem = synthetic_dem_sql(rows, cols)
+    return f"""
+    WITH dem AS ({dem})
+    SELECT c.row, c.col, sum(n.value) / count(*) AS mean_val
+    FROM dem c JOIN dem n
+      ON n.row BETWEEN c.row - {ry} AND c.row + {ry}
+     AND n.col BETWEEN c.col - {rx} AND c.col + {rx}
+    GROUP BY c.row, c.col
+    """
+
+
+def dev_from_mean_sql(rows: int, cols: int, r: int = 8) -> str:
+    """deviationFromMean.go:300-330 incl. the edge quirk (grid row 0 /
+    col 0 excluded from every window by the clamped exclusive prefix)."""
+    dem = synthetic_dem_sql(rows, cols)
+    return f"""
+    WITH dem AS MATERIALIZED ({dem}),
+    kk AS (SELECT min(value) + (max(value) - min(value)) / 2.0 AS k
+           FROM dem),
+    win AS (
+      SELECT c.row, c.col, c.value,
+             sum(n.value - (SELECT k FROM kk)) AS s1,
+             sum((n.value - (SELECT k FROM kk))
+                 * (n.value - (SELECT k FROM kk))) AS s2,
+             count(n.value) AS cnt
+      FROM dem c
+      LEFT JOIN dem n
+        ON n.row BETWEEN greatest(c.row - {r}, 1) AND c.row + {r}
+       AND n.col BETWEEN greatest(c.col - {r}, 1) AND c.col + {r}
+      GROUP BY c.row, c.col, c.value)
+    SELECT row, col,
+           CASE WHEN cnt > 0
+                 AND (s2 - (s1 * s1) / cnt) / cnt > 0
+                THEN ((value - (SELECT k FROM kk)) - s1 / cnt)
+                     / sqrt((s2 - (s1 * s1) / cnt) / cnt)
+                ELSE 0.0 END AS dev
+    FROM win
+    """
+
+
+def d8_pointer_sql(rows: int, cols: int) -> str:
+    """d8FlowAccumulation.go:197-236: steepest-descent pointer,
+    first-max-wins over n=0..7; dir 0 when no positive slope.
+    Unit cells -> dist = sqrt(2) on diagonals, 1 on cardinals."""
+    dem = synthetic_dem_sql(rows, cols)
+    vals = ", ".join(f"({n}, {dy}, {dx})" for n, dy, dx in _OFFSETS)
+    ncols = ", ".join(
+        f"max(CASE WHEN o.n = {n} THEN x.value END) AS nn{n}"
+        for n, _, _ in _OFFSETS)
+    dists = ["sqrt(2.0)", "1.0", "sqrt(2.0)", "1.0",
+             "sqrt(2.0)", "1.0", "sqrt(2.0)", "1.0"]
+    slopes = ", ".join(
+        f"CASE WHEN nn{n} IS NOT NULL THEN (z - nn{n}) / {dists[n]} END AS s{n}"
+        for n in range(8))
+    gl = "greatest(" + ", ".join(
+        f"coalesce(s{n}, -1e308)" for n in range(8)) + ")"
+    first = "CASE " + " ".join(
+        f"WHEN s{n} IS NOT NULL AND s{n} = m THEN {n + 1}" for n in range(8)
+    ) + " END"
+    return f"""
+    WITH dem AS MATERIALIZED ({dem}),
+    nb AS (
+      SELECT c.row, c.col, c.value AS z, {ncols}
+      FROM dem c
+      CROSS JOIN (VALUES {vals}) o(n, dy, dx)
+      LEFT JOIN dem x ON x.row = c.row + o.dy AND x.col = c.col + o.dx
+      GROUP BY c.row, c.col, c.value),
+    sl AS (SELECT row, col, z, {slopes} FROM nb),
+    mx AS (SELECT row, col, z, {gl} AS m,
+                  s0, s1, s2, s3, s4, s5, s6, s7 FROM sl)
+    SELECT row, col,
+           CAST(CASE WHEN m > 0 THEN {first} ELSE 0 END AS DOUBLE) AS dir
+    FROM mx
+    """
+
+
+def fill_holes_sql(rows: int, cols: int) -> str:
+    """fillSmallNodataHoles.go:168-205 as two join passes (the in-place
+    pass-2 scan is provably equivalent — see kernels.py docstring)."""
+    dem = synthetic_dem_sql(rows, cols)
+    return f"""
+    WITH dem AS ({dem}),
+    allc AS (
+      SELECT (i // {cols})::INT AS row, (i % {cols})::INT AS col
+      FROM range(0, {rows} * {cols}) t(i)
+      WHERE (i // {cols}) BETWEEN 1 AND {rows - 2}),
+    p1 AS (
+      SELECT a.row, a.col,
+             COALESCE(d.value,
+                      CASE WHEN u.value IS NOT NULL AND dn.value IS NOT NULL
+                           THEN (u.value + dn.value) / 2.0 END) AS value
+      FROM allc a
+      LEFT JOIN dem d ON d.row = a.row AND d.col = a.col
+      LEFT JOIN dem u ON u.row = a.row - 1 AND u.col = a.col
+      LEFT JOIN dem dn ON dn.row = a.row + 1 AND dn.col = a.col),
+    p2 AS (
+      SELECT a.row, a.col,
+             COALESCE(p.value,
+                      CASE WHEN a.col BETWEEN 1 AND {cols - 2}
+                            AND l.value IS NOT NULL AND r.value IS NOT NULL
+                           THEN (l.value + r.value) / 2.0 END) AS value
+      FROM allc a
+      LEFT JOIN p1 p ON p.row = a.row AND p.col = a.col
+      LEFT JOIN p1 l ON l.row = a.row AND l.col = a.col - 1
+      LEFT JOIN p1 r ON r.row = a.row AND r.col = a.col + 1)
+    SELECT row, col, value FROM p2 WHERE value IS NOT NULL
+    """

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses ``local[N]``; the same settings are what we would
+submit cluster-side via spark-submit --py-files (AQE on, Arrow on,
+shuffle partitions sized to parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions default to 2x parallelism (good local-mode default; on a
+    real cluster AQE coalesces from a higher initial number anyway).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

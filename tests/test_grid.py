@@ -1,0 +1,78 @@
+"""Grid model: synth DEM determinism, tile round-trip, halo assembly."""
+
+import numpy as np
+import pandas as pd
+
+from go_spatial_spark.grid import (
+    NODATA, RasterMeta, long_to_tiles, run_stencil, synthetic_dem,
+    synthetic_dem_numpy, tiles_to_long,
+)
+
+
+def _collect_grid(df, rows, cols, nodata=NODATA):
+    pdf = df.toPandas()
+    arr = np.full((rows, cols), nodata, dtype=np.float64)
+    arr[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()
+    return arr
+
+
+def test_synthetic_dem_matches_numpy(spark):
+    rows, cols = 37, 53
+    got = _collect_grid(synthetic_dem(spark, rows, cols), rows, cols)
+    want = synthetic_dem_numpy(rows, cols)
+    assert np.array_equal(got, want)
+    # values are multiples of 2^-6 (exact-summation design invariant)
+    v = want[want != NODATA]
+    assert np.array_equal(v * 64, np.round(v * 64))
+    assert v.max() < 600
+
+
+def test_tile_roundtrip(spark):
+    rows, cols = 50, 41  # non-divisible by tile on purpose
+    meta = RasterMeta(rows=rows, cols=cols)
+    dem = synthetic_dem(spark, rows, cols)
+    tiles = long_to_tiles(dem, meta, tile=16)
+    back = tiles_to_long(tiles, meta, tile=16)
+    got = _collect_grid(back, rows, cols)
+    want = synthetic_dem_numpy(rows, cols)
+    assert np.array_equal(got, want)
+
+
+def test_halo_assembly_identity(spark):
+    """A kernel that returns the center block must be a no-op; a kernel
+    that sums the full 3x3 neighborhood must match a NumPy pad+shift."""
+    rows, cols = 30, 30
+    meta = RasterMeta(rows=rows, cols=cols)
+    dem = synthetic_dem(spark, rows, cols)
+    tiles = long_to_tiles(dem, meta, tile=8)
+
+    def identity(padded, halo, ctx):
+        return padded[halo:-halo, halo:-halo]
+
+    got = _collect_grid(tiles_to_long(
+        run_stencil(tiles, meta, identity, halo=1, tile=8), meta, tile=8),
+        rows, cols)
+    want = synthetic_dem_numpy(rows, cols)
+    assert np.array_equal(got, want)
+
+    def sum9(padded, halo, ctx):
+        z = np.where(padded != NODATA, padded, 0.0)
+        h, w = padded.shape[0] - 2, padded.shape[1] - 2
+        out = np.zeros((h, w))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                out += z[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        c = padded[1:-1, 1:-1]
+        return np.where(c != NODATA, out, NODATA)
+
+    got = _collect_grid(tiles_to_long(
+        run_stencil(tiles, meta, sum9, halo=1, tile=8), meta, tile=8),
+        rows, cols)
+    zfull = np.where(want != NODATA, want, 0.0)
+    pad = np.pad(zfull, 1)
+    want9 = np.zeros((rows, cols))
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            want9 += pad[1 + dy:1 + dy + rows, 1 + dx:1 + dx + cols]
+    want9 = np.where(want != NODATA, want9, NODATA)
+    assert np.array_equal(got, want9)
