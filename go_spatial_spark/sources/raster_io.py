@@ -1,0 +1,540 @@
+"""Raster file-format sources/sinks (SURVEY.md §2.1).
+
+Format support mirrors the reference's registry
+(geospatialfiles/raster/rastertype.go:22-62):
+
+- Whitebox GAT  (.dep text header + .tas raw binary)    R/W
+- ArcGIS ASCII  (.txt/.asc header + whitespace floats)  R/W
+- ArcGIS binary (.hdr text + .flt float32)              R/W
+- GRASS ASCII   (north/south/... header + floats)       R/W
+- Idrisi        (.rdc header + .rst binary)             R/W
+- GeoTIFF       (.tif; strips/tiles, none/LZW/deflate,
+                 predictor 2, u/i/f x 8/16/32/64,
+                 GDAL_NODATA)                            R (subset)
+- LAS LiDAR     (.las v1.x point records)                R
+
+Strategy per SURVEY.md: headers parse driver-side; payloads decode in
+executors (`binaryFile` source -> NumPy `frombuffer` inside
+mapInPandas), one file per task — files are the parallel unit; at
+production scale the data lives in Parquet/Iceberg and these shims are
+the ingest edge. All cell values land as float64 long form
+(row, col, value), NoData -> absent rows (raster.go:23-53 semantics:
+everything is float64 in memory).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from go_spatial_spark.grid import NODATA, RasterMeta
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _long_form(spark: SparkSession, arr: np.ndarray, nodata: float,
+               src_path: str | None = None) -> DataFrame:
+    """Distribute a decoded array as long form. The decode itself runs
+    where the bytes are; this helper is used by driver-side decoders
+    (small fixture files). Large rasters go through _binary_decode."""
+    rows, cols = arr.shape
+    mask = arr != nodata
+    rr, cc = np.nonzero(mask)
+    pdf = pd.DataFrame({"row": rr.astype(np.int32),
+                        "col": cc.astype(np.int32),
+                        "value": arr[mask].astype(np.float64)})
+    return spark.createDataFrame(pdf)
+
+
+def _read_binary_distributed(spark: SparkSession, path: str, decode_fn,
+                             nodata: float) -> DataFrame:
+    """binaryFile scan -> decode in an executor -> long form."""
+    bf = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(it):
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                arr = decode_fn(bytes(t.content))
+                mask = arr != nodata
+                rr, cc = np.nonzero(mask)
+                yield pd.DataFrame({
+                    "row": rr.astype(np.int32),
+                    "col": cc.astype(np.int32),
+                    "value": arr[mask].astype(np.float64)})
+
+    return bf.mapInPandas(run, schema="row int, col int, value double")
+
+
+# ---------------------------------------------------------------------------
+# Whitebox GAT — whiteboxRaster.go:349-505
+# ---------------------------------------------------------------------------
+
+_WB_DTYPES = {"FLOAT": ("<f4", 4), "DOUBLE": ("<f8", 8),
+              "INTEGER": ("<i2", 2), "BYTE": ("<i1", 1)}
+
+
+def parse_whitebox_header(text: str) -> dict:
+    out = {}
+    for line in text.splitlines():
+        if ":" in line:
+            k, _, v = line.partition(":")
+            out[k.strip().lower()] = v.strip()
+    return out
+
+
+def read_whitebox(spark: SparkSession, dep_path: str):
+    """Read .dep/.tas pair -> (RasterMeta, long-form DataFrame)."""
+    with open(dep_path) as f:
+        hdr = parse_whitebox_header(f.read())
+    rows, cols = int(hdr["rows"]), int(hdr["cols"])
+    nodata = float(hdr.get("nodata", NODATA))
+    dtype, _ = _WB_DTYPES[hdr.get("data type", "FLOAT").upper()]
+    if hdr.get("byte order", "LITTLE_ENDIAN").upper().startswith("BIG"):
+        dtype = ">" + dtype[1:]
+    meta = RasterMeta(rows=rows, cols=cols,
+                      north=float(hdr["north"]), south=float(hdr["south"]),
+                      east=float(hdr["east"]), west=float(hdr["west"]),
+                      nodata=nodata)
+    tas = os.path.splitext(dep_path)[0] + ".tas"
+
+    def decode(content: bytes) -> np.ndarray:
+        a = np.frombuffer(content, dtype=dtype, count=rows * cols)
+        return a.astype(np.float64).reshape(rows, cols)
+
+    return meta, _read_binary_distributed(spark, tas, decode, nodata)
+
+
+def write_whitebox(df: DataFrame, meta: RasterMeta, dep_path: str,
+                   data_type: str = "FLOAT") -> None:
+    """Write long form to .dep/.tas (single-file sink: assembled on the
+    driver — a fixture-parity path, not the 100 TB sink, which is
+    df.write.parquet)."""
+    pdf = df.toPandas()
+    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    valid = arr != meta.nodata
+    mn = float(arr[valid].min()) if valid.any() else 0.0
+    mx = float(arr[valid].max()) if valid.any() else 0.0
+    dtype, _ = _WB_DTYPES[data_type]
+    with open(dep_path, "w") as f:
+        f.write(f"Min:\t{mn}\nMax:\t{mx}\n"
+                f"North:\t{meta.north}\nSouth:\t{meta.south}\n"
+                f"East:\t{meta.east}\nWest:\t{meta.west}\n"
+                f"Cols:\t{meta.cols}\nRows:\t{meta.rows}\n"
+                f"Stacks:\t1\nData Type:\t{data_type}\n"
+                f"Z Units:\tnot specified\nXY Units:\tnot specified\n"
+                f"Projection:\tnot specified\nData Scale:\tcontinuous\n"
+                f"Display Min:\t{mn}\nDisplay Max:\t{mx}\n"
+                f"Preferred Palette:\tspectrum.pal\n"
+                f"NoData:\t{meta.nodata}\nByte Order:\tLITTLE_ENDIAN\n")
+    arr.astype(dtype).tofile(os.path.splitext(dep_path)[0] + ".tas")
+
+
+# ---------------------------------------------------------------------------
+# ArcGIS ASCII — arcGisAsciiRaster.go:31-96
+# ---------------------------------------------------------------------------
+
+def read_arcgis_ascii(spark: SparkSession, path: str):
+    with open(path) as f:
+        text = f.read()
+    lines = text.splitlines()
+    hdr = {}
+    data_start = 0
+    for i, line in enumerate(lines):
+        parts = line.split()
+        if len(parts) == 2 and re.match(r"^[a-zA-Z_]+$", parts[0]):
+            hdr[parts[0].lower()] = parts[1]
+            data_start = i + 1
+        else:
+            break
+    rows, cols = int(hdr["nrows"]), int(hdr["ncols"])
+    cell = float(hdr["cellsize"])
+    nodata = float(hdr.get("nodata_value", NODATA))
+    west = float(hdr["xllcorner"])
+    south = float(hdr["yllcorner"])
+    meta = RasterMeta(rows=rows, cols=cols, north=south + rows * cell,
+                      south=south, east=west + cols * cell, west=west,
+                      nodata=nodata)
+    vals = np.fromstring(" ".join(lines[data_start:]), sep=" ") \
+        if False else np.array(" ".join(lines[data_start:]).split(),
+                               dtype=np.float64)
+    arr = vals.reshape(rows, cols)
+    return meta, _long_form(spark, arr, nodata)
+
+
+def write_arcgis_ascii(df: DataFrame, meta: RasterMeta, path: str) -> None:
+    pdf = df.toPandas()
+    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    with open(path, "w") as f:
+        f.write(f"ncols {meta.cols}\nnrows {meta.rows}\n"
+                f"xllcorner {meta.west}\nyllcorner {meta.south}\n"
+                f"cellsize {meta.cellsize_x}\nnodata_value {meta.nodata}\n")
+        for r in range(meta.rows):
+            f.write(" ".join(repr(v) for v in arr[r]) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# GRASS ASCII — grassAsciiRaster.go:32-44
+# ---------------------------------------------------------------------------
+
+def read_grass_ascii(spark: SparkSession, path: str):
+    with open(path) as f:
+        lines = f.read().splitlines()
+    hdr = {}
+    data_start = 0
+    for i, line in enumerate(lines):
+        parts = line.replace(":", " ").split()
+        if len(parts) == 2 and parts[0].lower() in (
+                "north", "south", "east", "west", "rows", "cols"):
+            hdr[parts[0].lower()] = parts[1]
+            data_start = i + 1
+        else:
+            break
+    rows, cols = int(hdr["rows"]), int(hdr["cols"])
+    meta = RasterMeta(rows=rows, cols=cols, north=float(hdr["north"]),
+                      south=float(hdr["south"]), east=float(hdr["east"]),
+                      west=float(hdr["west"]), nodata=NODATA)
+    vals = np.array(" ".join(lines[data_start:]).split(), dtype=np.float64)
+    return meta, _long_form(spark, vals.reshape(rows, cols), meta.nodata)
+
+
+def write_grass_ascii(df: DataFrame, meta: RasterMeta, path: str) -> None:
+    pdf = df.toPandas()
+    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    with open(path, "w") as f:
+        f.write(f"north: {meta.north}\nsouth: {meta.south}\n"
+                f"east: {meta.east}\nwest: {meta.west}\n"
+                f"rows: {meta.rows}\ncols: {meta.cols}\n")
+        for r in range(meta.rows):
+            f.write(" ".join(repr(v) for v in arr[r]) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# ArcGIS binary — arcGisBinaryRaster.go:35-80  (.hdr + .flt float32)
+# ---------------------------------------------------------------------------
+
+def read_arcgis_binary(spark: SparkSession, hdr_path: str):
+    with open(hdr_path) as f:
+        hdr = {}
+        for line in f.read().splitlines():
+            parts = line.split()
+            if len(parts) >= 2:
+                hdr[parts[0].lower()] = parts[1]
+    rows, cols = int(hdr["nrows"]), int(hdr["ncols"])
+    cell = float(hdr["cellsize"])
+    nodata = float(hdr.get("nodata_value", NODATA))
+    west = float(hdr["xllcorner"])
+    south = float(hdr["yllcorner"])
+    order = "<" if hdr.get("byteorder", "LSBFIRST").upper().startswith("LSB") else ">"
+    meta = RasterMeta(rows=rows, cols=cols, north=south + rows * cell,
+                      south=south, east=west + cols * cell, west=west,
+                      nodata=nodata)
+    flt = os.path.splitext(hdr_path)[0] + ".flt"
+
+    def decode(content: bytes) -> np.ndarray:
+        return np.frombuffer(content, dtype=order + "f4",
+                             count=rows * cols).astype(np.float64).reshape(
+                                 rows, cols)
+
+    return meta, _read_binary_distributed(spark, flt, decode, nodata)
+
+
+def write_arcgis_binary(df: DataFrame, meta: RasterMeta,
+                        hdr_path: str) -> None:
+    pdf = df.toPandas()
+    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    with open(hdr_path, "w") as f:
+        f.write(f"NCOLS {meta.cols}\nNROWS {meta.rows}\n"
+                f"XLLCORNER {meta.west}\nYLLCORNER {meta.south}\n"
+                f"CELLSIZE {meta.cellsize_x}\nNODATA_VALUE {meta.nodata}\n"
+                f"BYTEORDER LSBFIRST\n")
+    arr.astype("<f4").tofile(os.path.splitext(hdr_path)[0] + ".flt")
+
+
+# ---------------------------------------------------------------------------
+# Idrisi — idrisiRaster.go:36-43, 385-590  (.rdc + .rst)
+# ---------------------------------------------------------------------------
+
+_IDRISI_DTYPES = {"real": "<f4", "integer": "<i2", "byte": "u1"}
+
+
+def read_idrisi(spark: SparkSession, rdc_path: str):
+    hdr = {}
+    with open(rdc_path) as f:
+        for line in f.read().splitlines():
+            if ":" in line:
+                k, _, v = line.partition(":")
+                hdr[k.strip().lower()] = v.strip()
+    rows, cols = int(hdr["rows"]), int(hdr["columns"])
+    dtype = _IDRISI_DTYPES[hdr.get("data type", "real").lower()]
+    nodata = float(hdr.get("flag value") or NODATA) \
+        if hdr.get("flag value", "none").lower() not in ("none", "") else NODATA
+    meta = RasterMeta(rows=rows, cols=cols,
+                      north=float(hdr["max. y"]), south=float(hdr["min. y"]),
+                      east=float(hdr["max. x"]), west=float(hdr["min. x"]),
+                      nodata=nodata)
+    rst = os.path.splitext(rdc_path)[0] + ".rst"
+
+    def decode(content: bytes) -> np.ndarray:
+        return np.frombuffer(content, dtype=dtype,
+                             count=rows * cols).astype(np.float64).reshape(
+                                 rows, cols)
+
+    return meta, _read_binary_distributed(spark, rst, decode, nodata)
+
+
+def write_idrisi(df: DataFrame, meta: RasterMeta, rdc_path: str,
+                 data_type: str = "real") -> None:
+    pdf = df.toPandas()
+    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    valid = arr != meta.nodata
+    mn = float(arr[valid].min()) if valid.any() else 0.0
+    mx = float(arr[valid].max()) if valid.any() else 0.0
+    with open(rdc_path, "w") as f:
+        f.write(f"file format : IDRISI Raster A.1\nfile title  : \n"
+                f"data type   : {data_type}\nfile type   : binary\n"
+                f"columns     : {meta.cols}\nrows        : {meta.rows}\n"
+                f"ref. system : plane\nref. units  : metres\n"
+                f"unit dist.  : 1.0\n"
+                f"min. X      : {meta.west}\nmax. X      : {meta.east}\n"
+                f"min. Y      : {meta.south}\nmax. Y      : {meta.north}\n"
+                f"pos'n error : unknown\n"
+                f"resolution  : {meta.cellsize_x}\n"
+                f"min. value  : {mn}\nmax. value  : {mx}\n"
+                f"display min : {mn}\ndisplay max : {mx}\n"
+                f"value units : unspecified\nvalue error : unknown\n"
+                f"flag value  : {meta.nodata}\n"
+                f"flag def'n  : missing data\nlegend cats : 0\n")
+    arr.astype(_IDRISI_DTYPES[data_type]).tofile(
+        os.path.splitext(rdc_path)[0] + ".rst")
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF (read subset) — geotiff/geotiff.go:480-829
+# ---------------------------------------------------------------------------
+
+_TIFF_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, EarlyChange=1) —
+    geotiff.go:695-724 semantics, public TIFF 6.0 spec."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    bitbuf = bitcnt = 0
+    width = 9
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == CLEAR:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def read_geotiff(spark: SparkSession, path: str):
+    """Minimal pure-NumPy GeoTIFF reader: gray single-band, strips or
+    tiles, compression none(1)/LZW(5)/deflate(8/32946), horizontal
+    predictor, uint/int/float 8-64 bit, GDAL_NODATA, ModelTiepoint +
+    ModelPixelScale georeferencing."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    bo = "<" if buf[:2] == b"II" else ">"
+    magic, off = struct.unpack(bo + "HI", buf[2:8])
+    assert magic == 42, "classic TIFF only"
+    n = struct.unpack(bo + "H", buf[off:off + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = buf[off + 2 + 12 * i: off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        size = _TIFF_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            raw = e[8:8 + size]
+        else:
+            ptr = struct.unpack(bo + "I", e[8:12])[0]
+            raw = buf[ptr:ptr + size]
+        fmt = {1: "B", 3: "H", 4: "I", 5: "II", 8: "h", 9: "i",
+               11: "f", 12: "d", 16: "Q", 17: "q", 2: None, 7: None}.get(typ)
+        if fmt is None:
+            tags[tag] = raw
+        elif typ == 5:
+            vals = struct.unpack(bo + "II" * cnt, raw)
+            tags[tag] = [vals[2 * j] / vals[2 * j + 1] for j in range(cnt)]
+        else:
+            tags[tag] = list(struct.unpack(bo + fmt * cnt, raw))
+    width = tags[256][0]
+    height = tags[257][0]
+    bits = tags.get(258, [8])[0]
+    comp = tags.get(259, [1])[0]
+    sample_fmt = tags.get(339, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    nodata = NODATA
+    if 42113 in tags:  # GDAL_NODATA (ASCII)
+        try:
+            nodata = float(tags[42113].split(b"\x00")[0])
+        except (ValueError, AttributeError):
+            pass
+    kind = {1: "u", 2: "i", 3: "f"}[sample_fmt]
+    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+    def decomp(seg: bytes) -> bytes:
+        if comp == 1:
+            return seg
+        if comp == 5:
+            return _lzw_decode(seg)
+        if comp in (8, 32946):
+            return zlib.decompress(seg)
+        raise NotImplementedError(f"TIFF compression {comp}")
+
+    arr = np.zeros((height, width), dtype=np.float64)
+    if 322 in tags:  # tiled
+        tw, th = tags[322][0], tags[323][0]
+        offs, cnts = tags[324], tags[325]
+        per_row = (width + tw - 1) // tw
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            data = np.frombuffer(decomp(buf[o:o + c]), dtype=dtype,
+                                 count=tw * th).reshape(th, tw)
+            if predictor == 2:
+                data = data.cumsum(axis=1, dtype=data.dtype)
+            ty, tx = idx // per_row, idx % per_row
+            y0, x0 = ty * th, tx * tw
+            hh = min(th, height - y0)
+            ww = min(tw, width - x0)
+            arr[y0:y0 + hh, x0:x0 + ww] = data[:hh, :ww]
+    else:  # strips
+        rps = tags.get(278, [height])[0]
+        offs, cnts = tags[273], tags[279]
+        y = 0
+        for o, c in zip(offs, cnts):
+            hh = min(rps, height - y)
+            data = np.frombuffer(decomp(buf[o:o + c]), dtype=dtype,
+                                 count=hh * width).reshape(hh, width)
+            if predictor == 2:
+                data = data.cumsum(axis=1, dtype=data.dtype)
+            arr[y:y + hh] = data
+            y += hh
+    # georeferencing: ModelTiepoint (33922) + ModelPixelScale (33550)
+    west = north = 0.0
+    csx = csy = 1.0
+    if 33550 in tags and 33922 in tags:
+        csx, csy = tags[33550][0], tags[33550][1]
+        tp = tags[33922]
+        west = tp[3] - tp[0] * csx
+        north = tp[4] + tp[1] * csy
+    meta = RasterMeta(rows=height, cols=width, north=north,
+                      south=north - height * csy, east=west + width * csx,
+                      west=west, nodata=nodata)
+    return meta, _long_form(spark, arr, nodata)
+
+
+# ---------------------------------------------------------------------------
+# LAS LiDAR (read) — lidar/las.go, lasHeader.go, lasPoint.go
+# ---------------------------------------------------------------------------
+
+def read_las(spark: SparkSession, path: str) -> DataFrame:
+    """LAS v1.x -> point DataFrame (x, y, z, intensity, class,
+    return_num, num_returns, gps_time). Scale/offset decode per
+    las.go:85-93; bit fields per lasPoint.go:69-149."""
+    bf = spark.read.format("binaryFile").load(path).select("content")
+
+    def run(it):
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                buf = bytes(t.content)
+                assert buf[:4] == b"LASF", "not a LAS file"
+                (offset_to_points,) = struct.unpack("<I", buf[96:100])
+                fmt_id = buf[104]
+                (rec_len,) = struct.unpack("<H", buf[105:107])
+                (n_points,) = struct.unpack("<I", buf[107:111])
+                sx, sy, sz, ox, oy, oz = struct.unpack("<6d", buf[131:179])
+                raw = np.frombuffer(
+                    buf, dtype=np.uint8, count=n_points * rec_len,
+                    offset=offset_to_points).reshape(n_points, rec_len)
+                xi = raw[:, 0:4].copy().view("<i4").ravel()
+                yi = raw[:, 4:8].copy().view("<i4").ravel()
+                zi = raw[:, 8:12].copy().view("<i4").ravel()
+                inten = raw[:, 12:14].copy().view("<u2").ravel()
+                bits = raw[:, 14]
+                cls = raw[:, 15]
+                gps = np.zeros(n_points)
+                if fmt_id in (1, 3):
+                    gps = raw[:, 20:28].copy().view("<f8").ravel()
+                yield pd.DataFrame({
+                    "x": xi * sx + ox, "y": yi * sy + oy, "z": zi * sz + oz,
+                    "intensity": inten.astype(np.int32),
+                    "class": (cls & 0x1F).astype(np.int32),
+                    "return_num": (bits & 0x07).astype(np.int32),
+                    "num_returns": ((bits >> 3) & 0x07).astype(np.int32),
+                    "gps_time": gps})
+
+    return bf.mapInPandas(
+        run, schema=("x double, y double, z double, intensity int, "
+                     "class int, return_num int, num_returns int, "
+                     "gps_time double"))
+
+
+# ---------------------------------------------------------------------------
+# format sniffing — rastertype.go:86-159
+# ---------------------------------------------------------------------------
+
+def read_raster(spark: SparkSession, path: str):
+    """Extension-dispatch reader (rastertype.go registry); .txt/.asc
+    disambiguates ArcGIS vs GRASS by probing the first header line
+    (rastertype.go:112-150)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".dep", ".tas"):
+        return read_whitebox(spark, os.path.splitext(path)[0] + ".dep")
+    if ext in (".tif", ".tiff"):
+        return read_geotiff(spark, path)
+    if ext in (".rdc", ".rst"):
+        return read_idrisi(spark, os.path.splitext(path)[0] + ".rdc")
+    if ext in (".hdr", ".flt"):
+        return read_arcgis_binary(spark, os.path.splitext(path)[0] + ".hdr")
+    if ext in (".asc", ".txt"):
+        with open(path) as f:
+            first = f.readline().split()
+        if first and first[0].lower() in ("north", "south", "east", "west",
+                                          "rows", "cols", "north:"):
+            return read_grass_ascii(spark, path)
+        return read_arcgis_ascii(spark, path)
+    raise ValueError(f"unknown raster format: {path}")

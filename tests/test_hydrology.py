@@ -59,3 +59,43 @@ def test_d8_flow_accum_distributed(spark):
     valid = dem_np != NODATA
     sinks = (H.d8_pointer_np(dem_np, META) == 0)
     assert want[sinks].sum() >= valid.sum() * 0  # structural sanity
+
+
+def test_fd8_flow_accum_distributed(spark):
+    dem_np = synthetic_dem_numpy(ROWS, COLS)
+    want = H.fd8_accum_np(dem_np)
+    tiles = long_to_tiles(synthetic_dem(spark, ROWS, COLS), META, tile=TILE)
+    got = _collect(H.fd8_flow_accum(tiles, META, tile=TILE), "accum")
+    valid = dem_np != NODATA
+    # FD8 float sums are order-dependent across the tile boundary —
+    # compare with tight tolerance (module docstring)
+    assert np.allclose(got[valid], want[valid], rtol=1e-12, atol=1e-9)
+    assert np.array_equal(got[~valid], want[~valid])
+
+
+def test_breach_depressions_removes_pits(spark):
+    dem_np = synthetic_dem_numpy(ROWS, COLS)
+    assert H.count_interior_pits(dem_np) > 0
+    want = H.breach_depressions_np(dem_np)
+    assert H.count_interior_pits(want) == 0
+    got = _collect(
+        H.breach_depressions(synthetic_dem(spark, ROWS, COLS), META),
+        "breached")
+    assert np.array_equal(got, want)
+
+
+def test_breach_streams_exact(spark):
+    from pyspark.sql import functions as F
+    dem_np = synthetic_dem_numpy(ROWS, COLS)
+    streams_np = H.synthetic_streams_numpy(ROWS, COLS)
+    want = H.breach_streams_np(dem_np, streams_np)
+    g = spark.range(ROWS * COLS).select(
+        (F.col("id") / COLS).cast("int").alias("row"),
+        (F.col("id") % COLS).cast("int").alias("col"))
+    streams = g.where((F.col("row") == ROWS // 2)
+                      | (F.col("col") == COLS // 2)
+                      | (F.col("row") == F.col("col"))) \
+        .withColumn("value", F.lit(1.0))
+    got = _collect(H.breach_streams(
+        synthetic_dem(spark, ROWS, COLS), streams, META), "breached")
+    assert np.array_equal(got, want)

@@ -1,0 +1,62 @@
+"""Plan-quality audits: the properties that matter at 100 TB.
+
+- filters/column pruning reach the parquet scan (PushedFilters /
+  ReadSchema);
+- the PIP polygon side broadcasts (BroadcastHashJoin, no shuffle of
+  the big side on the join key);
+- no row-at-a-time Python (BatchEvalPython) anywhere — Arrow only
+  (input_hint: "no per-row Python").
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from go_spatial_spark.geocode import geocode
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted") \
+        if False else df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf01):
+    docs = spark.read.parquet(f"{sf01}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+    # column pruning: text must NOT be read
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_pip_broadcasts_polygons(spark, sf01):
+    pts = geocode(spark.read.parquet(f"{sf01}/documents.parquet")) \
+        .select("doc_id", "lat", "lon")
+    from go_spatial_spark.operators.spatial_join import point_in_polygon
+    plan = _plan(point_in_polygon(pts, spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_row_python_udfs(spark, sf01):
+    """Every query plan must be Arrow-vectorized: BatchEvalPython
+    (pickled row-at-a-time UDF) is banned; ArrowEvalPython and the
+    pandas map/cogroup operators are the allowed Python surfaces."""
+    for name, fn in E.queries().items():
+        if name in ("fill_depressions", "d8_flow_accum", "fd8_flow_accum"):
+            continue  # iterative drivers materialize eagerly (checked once)
+        df = fn(spark, sf01)
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, f"{name} uses row-Python"
+
+
+def test_knn_plan_shuffles_on_cell(spark, sf01):
+    from go_spatial_spark.operators.spatial_join import knn_self
+    pts = geocode(spark.read.parquet(f"{sf01}/documents.parquet")) \
+        .select("doc_id", "lat", "lon")
+    plan = _plan(knn_self(pts, k=5))
+    # ring join must not be a cartesian product
+    assert "CartesianProduct" not in plan.split("left_anti")[0]
