@@ -34,11 +34,79 @@ BENCH_ROWS, BENCH_COLS, BENCH_TILE = 1024, 1024, 256
 BMETA = RasterMeta(rows=BENCH_ROWS, cols=BENCH_COLS)
 
 
+def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
+    """Compute-bound workload for the N-vs-4N scaling measurement:
+    per-query work is large enough that kernel/JVM compute dominates
+    scheduler + Python-worker overhead (the regular sf0.1 suite is
+    overhead-bound locally and anti-scales past ~8 threads)."""
+    R = C = 3072
+    T = 256
+    meta = RasterMeta(rows=R, cols=C)
+    tiles = long_to_tiles(synthetic_dem(spark, R, C), meta, tile=T).cache()
+    n_tiles = tiles.count()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb8 = None
+    for i in range(4):
+        part = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        emb8 = part if emb8 is None else emb8.unionByName(part)
+    emb8 = emb8.repartition(4 * cpus).cache()
+    n_vecs = emb8.count()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs8 = None
+    for i in range(8):
+        part = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        docs8 = part if docs8 is None else docs8.unionByName(part)
+    docs8 = docs8.repartition(4 * cpus).cache()
+    n_docs = docs8.count()
+
+    def st(kernel, halo, **extra):
+        return lambda: tiles_to_long(
+            run_stencil(tiles, meta, kernel, halo=halo, tile=T,
+                        ctx_extra=extra or None), meta, tile=T).count()
+
+    qs = {
+        "slope_3072": st(kernels.slope_kernel, 1),
+        "hillshade_3072": st(kernels.hillshade_kernel, 1),
+        "dev_3072_r8": st(kernels.deviation_from_mean_kernel, 8,
+                          r=8, k=300.0),
+        "cosine_topk_8k": lambda: similarity.cosine_topk(emb8).count(),
+        "minhash_40k": lambda: dedup.minhash_signatures(docs8).count(),
+        "pip_40k": lambda: point_in_polygon(
+            geocode(docs8).select("doc_id", "lat", "lon"), spark).count(),
+    }
+    times = {}
+    for name, fn in qs.items():
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name} {times[name]:.2f}s", file=sys.stderr,
+              flush=True)
+    total = round(sum(times.values()), 3)
+    return {"metric": "scaling_suite_wall_seconds", "value": total,
+            "unit": "sec", "queries": times, "cpus": cpus,
+            "docs_per_sec": round(n_docs * 2 / (times["minhash_40k"]
+                                                + times["pip_40k"]), 1),
+            "tiles_per_sec": round(n_tiles * 3 / (
+                times["slope_3072"] + times["hillshade_3072"]
+                + times["dev_3072_r8"]), 2),
+            "n_docs": n_docs, "n_tiles": n_tiles, "n_vecs": n_vecs}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("gss-bench", cpus=cpus)
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "scaling":
+        result = scaling_workload(spark, cpus, sf_dir)
+        result["sf"] = sf
+        print(json.dumps(result))
+        return
 
     par = spark.sparkContext.defaultParallelism
     docs = spark.read.parquet(

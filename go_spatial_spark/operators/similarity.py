@@ -68,26 +68,51 @@ _NORM2_SQL = ("list_reduce(list_transform({a}, "
 
 def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """Exact self top-k by cosine similarity (vec_id, neighbor_id,
-    rank, cos). Ties broken by neighbor id; cos is bit-deterministic."""
+    rank, cos). Ties broken by neighbor id; cos is bit-deterministic.
+
+    Physical plan: the corpus matrix is a Spark broadcast (the classic
+    brute-force ANN shape — queries partitioned, corpus replicated);
+    each partition computes its query-block cosines in NumPy with a
+    *sequential* fold over the feature axis (acc += q_k * c_k in
+    element order), so every dot product is bit-identical to the SQL
+    oracle's list_reduce left fold. Top-k via per-row lexsort on
+    (-cos, nid) keeps the deterministic tie-break."""
     emb = ensure_parallelism(emb)
-    q = emb.select(F.col("vec_id").alias("qid"),
-                   F.col("embedding").alias("qe"),
-                   _norm_fold_arrow("embedding").alias("qn"))
-    c = emb.select(F.col("vec_id").alias("nid"),
-                   F.col("embedding").alias("ne"),
-                   _norm_fold_arrow("embedding").alias("nn"))
-    pairs = q.crossJoin(c).where(F.col("qid") != F.col("nid"))
-    # sqrt(nq)*sqrt(nc) precomputed per vector — identical scalars,
-    # identical product, so bit-parity with the inline-norm oracle holds
-    cos = (_dot_fold_arrow(F.col("qe"), F.col("ne"))
-           / (F.col("qn") * F.col("nn")))
-    scored = pairs.select("qid", "nid", cos.alias("cos"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(F.col("qid").alias("vec_id"),
-                    F.col("nid").alias("neighbor_id"),
-                    F.col("rank").cast("int").alias("rank"), "cos"))
+    spark = emb.sparkSession
+    corpus_pdf = emb.select("vec_id", "embedding").toPandas()
+    c_ids = corpus_pdf["vec_id"].to_numpy()
+    c_mat = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64)
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def solve(it):
+        ids, cm, cn = bc.value
+        n = cm.shape[0]
+        d = cm.shape[1]
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qids = pdf["vec_id"].to_numpy()
+            qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qn = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
+            # sequential left-fold dot: acc built feature-by-feature
+            acc = np.zeros((qm.shape[0], n))
+            for kk in range(d):
+                acc += qm[:, kk:kk + 1] * cm[None, :, kk].reshape(1, n)
+            cos = acc / (qn[:, None] * cn[None, :])
+            rows = []
+            for i in range(qm.shape[0]):
+                mask = ids != qids[i]
+                order = np.lexsort((ids[mask], -cos[i, mask]))[:k]
+                cand_ids = ids[mask][order]
+                cand_cos = cos[i, mask][order]
+                for r, (nid, cv) in enumerate(zip(cand_ids, cand_cos), 1):
+                    rows.append((int(qids[i]), int(nid), r, float(cv)))
+            yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id",
+                                              "rank", "cos"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        solve, schema="vec_id long, neighbor_id long, rank int, cos double")
 
 
 def cosine_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5) -> str:

@@ -160,14 +160,18 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
     w = Window.partitionBy("qid").orderBy(F.col("dist2"), F.col("nid"))
     topk = ring.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
-    # guarantee: any point outside the 3x3 ring is >= cell_size away
-    per_q = topk.groupBy("qid").agg(F.count("*").alias("n"),
-                                    F.max("dist2").alias("kth"))
-    resolved_ids = per_q.where(
-        (F.col("n") == k) & (F.col("kth") <= F.lit(cell_size * cell_size)))
-    resolved = topk.join(resolved_ids.select("qid"), "qid", "left_semi")
+    # guarantee: any point outside the 3x3 ring is >= cell_size away.
+    # count/kth via a second window over the same partitioning — reuses
+    # the row_number exchange, no extra groupBy+join round trip
+    w2 = Window.partitionBy("qid")
+    topk = (topk.withColumn("ncand", F.count("*").over(w2))
+            .withColumn("kth", F.max("dist2").over(w2)))
+    resolved = topk.where(
+        (F.col("ncand") == k)
+        & (F.col("kth") <= F.lit(cell_size * cell_size)))
 
-    unresolved_q = g.join(resolved_ids.select("qid"), "qid", "left_anti")
+    unresolved_q = g.join(resolved.select("qid").distinct(), "qid",
+                          "left_anti")
     brute = F.broadcast(unresolved_q).join(
         p.drop("ngx", "ngy"), F.col("nid") != F.col("qid"), "inner"
     ).withColumn(

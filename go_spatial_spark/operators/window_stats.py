@@ -47,9 +47,10 @@ def quantiles(grid: DataFrame, num_bins: int = 5,
     cls = np.floor(cdf / qp).astype(np.int64)
     cls[cls == num_bins] = num_bins - 1
 
+    import pandas as pd
     mapping = spark.createDataFrame(
-        [(int(b), int(c) + 1) for b, c in enumerate(cls)],
-        "bin long, quantile int")
+        pd.DataFrame({"bin": np.arange(HIGH_RES_BINS, dtype=np.int64),
+                      "quantile": (cls + 1).astype(np.int32)}))
     return (binned.join(F.broadcast(mapping), "bin")
             .select("row", "col", "quantile"))
 

@@ -35,9 +35,19 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4.1 local mode: the python-worker REUSE pool serializes
+        # worker handoff at high thread counts (measured 10-20x task
+        # stalls at local[32] on Arrow-UDF stages); fresh forks are
+        # cheap and scale linearly
+        .config("spark.python.worker.reuse", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    # single-threaded math libs inside the (many) python workers:
+    # 32 workers x N BLAS/Arrow threads oversubscribes the host
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

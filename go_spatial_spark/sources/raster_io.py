@@ -538,3 +538,95 @@ def read_raster(spark: SparkSession, path: str):
             return read_grass_ascii(spark, path)
         return read_arcgis_ascii(spark, path)
     raise ValueError(f"unknown raster format: {path}")
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF write — geotiff/geotiff.go:50-470 (strip-per-row, uncompressed,
+# float64 samples, ModelTiepoint/PixelScale/GDAL_NODATA tags)
+# ---------------------------------------------------------------------------
+
+def write_geotiff(df: DataFrame, meta: RasterMeta, path: str) -> None:
+    """Single-file GeoTIFF sink (fixture-parity path; the production
+    sink is Parquet). Always strip-per-row, uncompressed — the same
+    choice as the reference writer (geotiff.go:83, :256-268)."""
+    pdf = df.toPandas()
+    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype="<f8")
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    rows, cols = meta.rows, meta.cols
+    bo = "<"
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(bo + "HHI4s", tag, typ, cnt, val)
+
+    strip_bytes = cols * 8
+    n_tags = 14
+    # layout: header(8) | IFD | tag overflow data | strips
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    data_off = ifd_off + ifd_size
+    overflow = b""
+
+    def overflow_val(data: bytes) -> bytes:
+        nonlocal overflow
+        off = data_off + len(overflow)
+        overflow += data
+        return struct.pack(bo + "I", off)
+
+    strip_offsets = []
+    strips_start = None  # patched after overflow is known
+
+    nodata_ascii = (repr(meta.nodata) + "\x00").encode()
+    tiepoint = struct.pack(bo + "6d", 0.0, 0.0, 0.0,
+                           meta.west, meta.north, 0.0)
+    pixscale = struct.pack(bo + "3d", meta.cellsize_x, meta.cellsize_y, 0.0)
+
+    # first pass to size the overflow area (strip offsets go last)
+    pre_entries = [
+        (256, 3, 1, struct.pack(bo + "HH", cols, 0)),        # width
+        (257, 3, 1, struct.pack(bo + "HH", rows, 0)),        # height
+        (258, 3, 1, struct.pack(bo + "HH", 64, 0)),          # bits
+        (259, 3, 1, struct.pack(bo + "HH", 1, 0)),           # no compression
+        (262, 3, 1, struct.pack(bo + "HH", 1, 0)),           # gray
+        (277, 3, 1, struct.pack(bo + "HH", 1, 0)),           # samples/pixel
+        (278, 3, 1, struct.pack(bo + "HH", 1, 0)),           # rows/strip
+        (339, 3, 1, struct.pack(bo + "HH", 3, 0)),           # float samples
+    ]
+    # overflow-resident tags
+    ov_tiepoint = overflow_val(tiepoint)
+    ov_pixscale = overflow_val(pixscale)
+    ov_nodata = overflow_val(nodata_ascii)
+    ov_counts = overflow_val(struct.pack(bo + "I" * rows,
+                                         *([strip_bytes] * rows)))
+    offsets_pos = data_off + len(overflow)
+    overflow += b"\x00" * (4 * rows)  # placeholder strip offsets
+    strips_start = data_off + len(overflow)
+    strip_offsets = [strips_start + r * strip_bytes for r in range(rows)]
+    overflow = (overflow[: offsets_pos - data_off]
+                + struct.pack(bo + "I" * rows, *strip_offsets))
+
+    entries = sorted([
+        *[(t, ty, c, v) for t, ty, c, v in pre_entries],
+        (273, 4, rows, struct.pack(bo + "I", offsets_pos)),
+        (279, 4, rows, struct.pack(bo + "I", ov_counts and
+                                   struct.unpack(bo + "I", ov_counts)[0])),
+        (33550, 12, 3, ov_pixscale),
+        (33922, 12, 6, ov_tiepoint),
+        (42113, 2, len(nodata_ascii), ov_nodata),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack(bo + "HI", 42, ifd_off))
+        f.write(struct.pack(bo + "H", n_tags))
+        for tag, typ, cnt, val in entries:
+            v = val if isinstance(val, bytes) else struct.pack(bo + "I", val)
+            f.write(struct.pack(bo + "HHI", tag, typ, cnt) + v.ljust(4, b"\x00")[:4])
+        f.write(struct.pack(bo + "I", 0))  # next IFD
+        f.write(overflow)
+        f.write(arr.tobytes())
+
+
+def whitebox_to_geotiff(spark: SparkSession, dep_path: str,
+                        tif_path: str) -> None:
+    """Whitebox2GeoTiff (tools/whiteboxRaster2GeoTiff.go:119-185):
+    read -> NoData remap is identity here (same sentinel) -> write."""
+    meta, df = read_whitebox(spark, dep_path)
+    write_geotiff(df, meta, tif_path)

@@ -18,7 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SF_DIR=sf_dir)
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_MODE="scaling")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600)

@@ -93,3 +93,29 @@ def test_format_sniffing(spark, tmp_path):
     ma, _ = io.read_raster(spark, pa)
     mg, _ = io.read_raster(spark, pg)
     assert ma.rows == mg.rows == rows
+
+
+def test_geotiff_write_roundtrip(spark, tmp_path):
+    rows, cols = 19, 27
+    meta = RasterMeta(rows=rows, cols=cols, north=float(rows), south=0.0,
+                      east=float(cols), west=0.0)
+    dem = synthetic_dem(spark, rows, cols)
+    p = str(tmp_path / "w.tif")
+    io.write_geotiff(dem, meta, p)
+    meta2, back = io.read_geotiff(spark, p)
+    assert (meta2.rows, meta2.cols) == (rows, cols)
+    assert meta2.nodata == meta.nodata
+    want = synthetic_dem_numpy(rows, cols)
+    pdf = back.toPandas()
+    arr = np.full((rows, cols), NODATA)
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    assert np.array_equal(arr, want)
+
+
+def test_whitebox_to_geotiff(spark, tmp_path):
+    src = "/root/reference/geospatialfiles/tests/testdata/DEM.dep"
+    dst = str(tmp_path / "conv.tif")
+    io.whitebox_to_geotiff(spark, src, dst)
+    meta, df = io.read_geotiff(spark, dst)
+    assert (meta.rows, meta.cols) == (188, 237)
+    assert _cell(df, 100, 100) == GOLDEN
