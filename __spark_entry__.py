@@ -182,6 +182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hydrology.breach_streams(dem, streams, META)
     q["breach_streams"] = breach_streams_q
 
+    # --- metadata tools (PrintGeoTiffTags / PrintLASInfo) ------------------
+    def geotiff_tags_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.sources.raster_io import geotiff_tags
+        return geotiff_tags(
+            spark, "/root/reference/geospatialfiles/tests/testdata/DEM.tif")
+    q["geotiff_tags"] = geotiff_tags_q
+
     # --- dedup / text / similarity ----------------------------------------
     q["exact_dedup"] = lambda spark, sf: dedup.exact_dedup(_docs(spark, sf))
     q["minhash_signatures"] = lambda spark, sf: dedup.minhash_signatures(
@@ -200,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb(spark, sf):
         return spark.read.parquet(f"{sf}/embeddings.parquet")
     q["cosine_topk"] = lambda spark, sf: similarity.cosine_topk(emb(spark, sf))
+    q["cosine_near_dup"] = lambda spark, sf: similarity.cosine_near_dup(
+        emb(spark, sf))
     q["ivf_topk"] = lambda spark, sf: similarity.ivf_topk(emb(spark, sf))
 
     # --- events (windowed aggregation / sessionization) -------------------
@@ -312,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id"] = textstats.lang_id_oracle_sql()
     o["fingerprint"] = textstats.fingerprint_oracle_sql()
     o["cosine_topk"] = similarity.cosine_topk_oracle_sql()
+    o["cosine_near_dup"] = similarity.cosine_near_dup_oracle_sql()
     o["ivf_topk"] = similarity.ivf_topk_oracle_sql()
 
     o["events_hourly"] = """

@@ -203,6 +203,7 @@ def run_stencil(
     halo: int,
     tile: int = 256,
     ctx_extra: dict | None = None,
+    boundary: str = "nodata",
 ) -> DataFrame:
     """Run a focal kernel over tile form with halo exchange.
 
@@ -278,6 +279,23 @@ def run_stencil(
             else:
                 cs = slice(halo, halo + sa.shape[1])
             padded[rs, cs] = sa
+        if boundary == "reflect":
+            # ReflectAtBoundaries halo policy (raster.go:295-318):
+            # out-of-grid reads mirror across the grid edge
+            # (row < 0 -> -row-1; row >= rows -> rows-(row-rows)-1),
+            # row and column reflections applied independently.
+            if ty == 0:
+                for i in range(halo):
+                    padded[i, :] = padded[2 * halo - 1 - i, :]
+            if ty == n_ty - 1 and ty * tile + h == rows:
+                for j in range(halo):
+                    padded[halo + h + j, :] = padded[halo + h - 1 - j, :]
+            if tx == 0:
+                for i in range(halo):
+                    padded[:, i] = padded[:, 2 * halo - 1 - i]
+            if tx == n_tx - 1 and tx * tile + w == cols:
+                for j in range(halo):
+                    padded[:, halo + w + j] = padded[:, halo + w - 1 - j]
         ctx = StencilCtx(meta=meta, tile=tile, ty=ty, tx=tx,
                          row0=ty * tile, col0=tx * tile, extra=extra)
         out = kernel(padded, halo, ctx)

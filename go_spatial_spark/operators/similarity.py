@@ -200,3 +200,32 @@ def ivf_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
     SELECT qid AS vec_id, nid AS neighbor_id, CAST(rank AS INT) AS rank, cos
     FROM ranked WHERE rank <= {k}
     """
+
+
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)
+    — the embedding leg of the dedup family."""
+    emb = ensure_parallelism(emb)
+    q = emb.select(F.col("vec_id").alias("a"),
+                   F.col("embedding").alias("qe"),
+                   _norm_fold_arrow("embedding").alias("qn"))
+    c = emb.select(F.col("vec_id").alias("b"),
+                   F.col("embedding").alias("ne"),
+                   _norm_fold_arrow("embedding").alias("nn"))
+    pairs = q.crossJoin(c).where(F.col("a") < F.col("b"))
+    cos = _dot_fold_arrow(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+    return (pairs.select("a", "b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold))
+
+
+def cosine_near_dup_oracle_sql(emb_tbl: str = "embeddings",
+                               threshold: float = 0.35) -> str:
+    dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    nq = _NORM2_SQL.format(a="q.embedding")
+    nc = _NORM2_SQL.format(a="c.embedding")
+    return f"""
+    SELECT q.vec_id AS a, c.vec_id AS b,
+           {dot} / (sqrt({nq}) * sqrt({nc})) AS cos
+    FROM {emb_tbl} q JOIN {emb_tbl} c ON q.vec_id < c.vec_id
+    WHERE {dot} / (sqrt({nq}) * sqrt({nc})) >= {threshold}
+    """

@@ -372,13 +372,8 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def read_geotiff(spark: SparkSession, path: str):
-    """Minimal pure-NumPy GeoTIFF reader: gray single-band, strips or
-    tiles, compression none(1)/LZW(5)/deflate(8/32946), horizontal
-    predictor, uint/int/float 8-64 bit, GDAL_NODATA, ModelTiepoint +
-    ModelPixelScale georeferencing."""
-    with open(path, "rb") as f:
-        buf = f.read()
+def _parse_tiff_ifd(buf: bytes):
+    """Parse the first IFD -> (byte_order, {tag: decoded_value})."""
     bo = "<" if buf[:2] == b"II" else ">"
     magic, off = struct.unpack(bo + "HI", buf[2:8])
     assert magic == 42, "classic TIFF only"
@@ -402,6 +397,27 @@ def read_geotiff(spark: SparkSession, path: str):
             tags[tag] = [vals[2 * j] / vals[2 * j + 1] for j in range(cnt)]
         else:
             tags[tag] = list(struct.unpack(bo + fmt * cnt, raw))
+    return bo, tags
+
+
+def geotiff_tags(spark: SparkSession, path: str) -> DataFrame:
+    """PrintGeoTiffTags equivalent (tools/printGeoTiffTags.go:95-114):
+    the parsed first-IFD tag table as a small DataFrame."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    _, tags = _parse_tiff_ifd(buf)
+    rows = [(int(t), str(v)[:200]) for t, v in sorted(tags.items())]
+    return spark.createDataFrame(rows, "tag int, value string")
+
+
+def read_geotiff(spark: SparkSession, path: str):
+    """Minimal pure-NumPy GeoTIFF reader: gray single-band, strips or
+    tiles, compression none(1)/LZW(5)/deflate(8/32946), horizontal
+    predictor, uint/int/float 8-64 bit, GDAL_NODATA, ModelTiepoint +
+    ModelPixelScale georeferencing."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    bo, tags = _parse_tiff_ifd(buf)
     width = tags[256][0]
     height = tags[257][0]
     bits = tags.get(258, [8])[0]
@@ -547,80 +563,74 @@ def read_raster(spark: SparkSession, path: str):
 
 def write_geotiff(df: DataFrame, meta: RasterMeta, path: str) -> None:
     """Single-file GeoTIFF sink (fixture-parity path; the production
-    sink is Parquet). Always strip-per-row, uncompressed — the same
-    choice as the reference writer (geotiff.go:83, :256-268)."""
+    sink is Parquet). Always strip-per-row, uncompressed, float64 —
+    the same layout choice as the reference writer (geotiff.go:83,
+    :256-268)."""
     pdf = df.toPandas()
     arr = np.full((meta.rows, meta.cols), meta.nodata, dtype="<f8")
     arr[pdf["row"], pdf["col"]] = pdf["value"]
     rows, cols = meta.rows, meta.cols
     bo = "<"
-
-    def entry(tag, typ, cnt, val):
-        return struct.pack(bo + "HHI4s", tag, typ, cnt, val)
-
     strip_bytes = cols * 8
-    n_tags = 14
-    # layout: header(8) | IFD | tag overflow data | strips
-    ifd_off = 8
-    ifd_size = 2 + n_tags * 12 + 4
-    data_off = ifd_off + ifd_size
-    overflow = b""
-
-    def overflow_val(data: bytes) -> bytes:
-        nonlocal overflow
-        off = data_off + len(overflow)
-        overflow += data
-        return struct.pack(bo + "I", off)
-
-    strip_offsets = []
-    strips_start = None  # patched after overflow is known
-
     nodata_ascii = (repr(meta.nodata) + "\x00").encode()
     tiepoint = struct.pack(bo + "6d", 0.0, 0.0, 0.0,
                            meta.west, meta.north, 0.0)
     pixscale = struct.pack(bo + "3d", meta.cellsize_x, meta.cellsize_y, 0.0)
 
-    # first pass to size the overflow area (strip offsets go last)
-    pre_entries = [
-        (256, 3, 1, struct.pack(bo + "HH", cols, 0)),        # width
-        (257, 3, 1, struct.pack(bo + "HH", rows, 0)),        # height
-        (258, 3, 1, struct.pack(bo + "HH", 64, 0)),          # bits
-        (259, 3, 1, struct.pack(bo + "HH", 1, 0)),           # no compression
-        (262, 3, 1, struct.pack(bo + "HH", 1, 0)),           # gray
-        (277, 3, 1, struct.pack(bo + "HH", 1, 0)),           # samples/pixel
-        (278, 3, 1, struct.pack(bo + "HH", 1, 0)),           # rows/strip
-        (339, 3, 1, struct.pack(bo + "HH", 3, 0)),           # float samples
-    ]
-    # overflow-resident tags
-    ov_tiepoint = overflow_val(tiepoint)
-    ov_pixscale = overflow_val(pixscale)
-    ov_nodata = overflow_val(nodata_ascii)
-    ov_counts = overflow_val(struct.pack(bo + "I" * rows,
-                                         *([strip_bytes] * rows)))
-    offsets_pos = data_off + len(overflow)
-    overflow += b"\x00" * (4 * rows)  # placeholder strip offsets
-    strips_start = data_off + len(overflow)
-    strip_offsets = [strips_start + r * strip_bytes for r in range(rows)]
-    overflow = (overflow[: offsets_pos - data_off]
-                + struct.pack(bo + "I" * rows, *strip_offsets))
+    n_tags = 13
+    ifd_size = 2 + n_tags * 12 + 4
+    data_off = 8 + ifd_size
+    overflow = bytearray()
 
-    entries = sorted([
-        *[(t, ty, c, v) for t, ty, c, v in pre_entries],
-        (273, 4, rows, struct.pack(bo + "I", offsets_pos)),
-        (279, 4, rows, struct.pack(bo + "I", ov_counts and
-                                   struct.unpack(bo + "I", ov_counts)[0])),
-        (33550, 12, 3, ov_pixscale),
-        (33922, 12, 6, ov_tiepoint),
-        (42113, 2, len(nodata_ascii), ov_nodata),
-    ])
+    def alloc(data: bytes) -> int:
+        off = data_off + len(overflow)
+        overflow.extend(data)
+        return off
+
+    tie_off = alloc(tiepoint)
+    scale_off = alloc(pixscale)
+    nodata_off = alloc(nodata_ascii)
+    counts_off = alloc(struct.pack(bo + "I" * rows,
+                                   *([strip_bytes] * rows)))
+    offsets_off = data_off + len(overflow)
+    overflow.extend(b"\x00" * (4 * rows))
+    strips_start = data_off + len(overflow)
+    strip_offs = [strips_start + r * strip_bytes for r in range(rows)]
+    overflow[offsets_off - data_off:offsets_off - data_off + 4 * rows] = \
+        struct.pack(bo + "I" * rows, *strip_offs)
+
+    def short(v):
+        return struct.pack(bo + "HH", v, 0)
+
+    def long_(v):
+        return struct.pack(bo + "I", v)
+
+    entries = [
+        (256, 3, 1, short(cols)),
+        (257, 3, 1, short(rows)),
+        (258, 3, 1, short(64)),
+        (259, 3, 1, short(1)),
+        (262, 3, 1, short(1)),
+        (273, 4, rows, long_(strip_offs[0]) if rows == 1
+         else long_(offsets_off)),
+        (277, 3, 1, short(1)),
+        (278, 3, 1, short(1)),
+        (279, 4, rows, long_(strip_bytes) if rows == 1
+         else long_(counts_off)),
+        (339, 3, 1, short(3)),
+        (33550, 12, 3, long_(scale_off)),
+        (33922, 12, 6, long_(tie_off)),
+        (42113, 2, len(nodata_ascii), long_(nodata_off)),
+    ]
+    assert len(entries) == n_tags
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack(bo + "HI", 42, ifd_off))
+        f.write(b"II" + struct.pack(bo + "HI", 42, 8))
         f.write(struct.pack(bo + "H", n_tags))
-        for tag, typ, cnt, val in entries:
-            v = val if isinstance(val, bytes) else struct.pack(bo + "I", val)
-            f.write(struct.pack(bo + "HHI", tag, typ, cnt) + v.ljust(4, b"\x00")[:4])
-        f.write(struct.pack(bo + "I", 0))  # next IFD
-        f.write(overflow)
+        for tag, typ, cnt, val in sorted(entries):
+            f.write(struct.pack(bo + "HHI", tag, typ, cnt)
+                    + val.ljust(4, b"\x00")[:4])
+        f.write(struct.pack(bo + "I", 0))  # next-IFD pointer
+        f.write(bytes(overflow))
         f.write(arr.tobytes())
 
 
@@ -630,3 +640,34 @@ def whitebox_to_geotiff(spark: SparkSession, dep_path: str,
     read -> NoData remap is identity here (same sentinel) -> write."""
     meta, df = read_whitebox(spark, dep_path)
     write_geotiff(df, meta, tif_path)
+
+
+def las_info(spark: SparkSession, path: str) -> DataFrame:
+    """PrintLASInfo equivalent (tools/printLASInfo.go:97-186): LAS
+    header summary incl. the creation yday->date conversion (leap-year
+    handling via the standard calendar, :121-186)."""
+    import datetime
+    with open(path, "rb") as f:
+        buf = f.read(227)
+    assert buf[:4] == b"LASF", "not a LAS file"
+    ver_major, ver_minor = buf[24], buf[25]
+    (yday,) = struct.unpack("<H", buf[90:92])
+    (year,) = struct.unpack("<H", buf[92:94])
+    fmt_id = buf[104]
+    (n_points,) = struct.unpack("<I", buf[107:111])
+    sx, sy, sz, ox, oy, oz = struct.unpack("<6d", buf[131:179])
+    maxx, minx, maxy, miny, maxz, minz = struct.unpack("<6d", buf[179:227])
+    if year > 0 and yday > 0:
+        d = datetime.date(year, 1, 1) + datetime.timedelta(days=yday - 1)
+        created = d.isoformat()
+    else:
+        created = None
+    row = [(f"{ver_major}.{ver_minor}", created, int(fmt_id),
+            int(n_points), sx, sy, sz, ox, oy, oz,
+            minx, maxx, miny, maxy, minz, maxz)]
+    return spark.createDataFrame(row, (
+        "version string, created string, point_format int, n_points long, "
+        "scale_x double, scale_y double, scale_z double, "
+        "off_x double, off_y double, off_z double, "
+        "min_x double, max_x double, min_y double, max_y double, "
+        "min_z double, max_z double"))

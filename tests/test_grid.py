@@ -76,3 +76,40 @@ def test_halo_assembly_identity(spark):
             want9 += pad[1 + dy:1 + dy + rows, 1 + dx:1 + dx + cols]
     want9 = np.where(want != NODATA, want9, NODATA)
     assert np.array_equal(got, want9)
+
+
+def test_reflect_boundary_policy(spark):
+    """ReflectAtBoundaries (raster.go:295-318): out-of-grid reads
+    mirror across the edge. Check a 3x3-sum kernel against a NumPy
+    reflect-pad replica."""
+    rows, cols = 24, 22
+    meta = RasterMeta(rows=rows, cols=cols)
+    # a hole-free region check: use the raw surface incl. holes; the
+    # kernel treats nodata as 0 contribution in both paths
+    dem = synthetic_dem(spark, rows, cols)
+    tiles = long_to_tiles(dem, meta, tile=8)
+
+    def sum9(padded, halo, ctx):
+        z = np.where(padded != NODATA, padded, 0.0)
+        h, w = padded.shape[0] - 2, padded.shape[1] - 2
+        out = np.zeros((h, w))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                out += z[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        c = padded[1:-1, 1:-1]
+        return np.where(c != NODATA, out, NODATA)
+
+    got = _collect_grid(tiles_to_long(
+        run_stencil(tiles, meta, sum9, halo=1, tile=8, boundary="reflect"),
+        meta, tile=8), rows, cols)
+
+    want_src = synthetic_dem_numpy(rows, cols)
+    pad = np.pad(np.where(want_src != NODATA, want_src, 0.0), 1,
+                 mode="symmetric")
+    # numpy 'symmetric' == the reference mirror (-row-1 indexing)
+    want = np.zeros((rows, cols))
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            want += pad[1 + dy:1 + dy + rows, 1 + dx:1 + dx + cols]
+    want = np.where(want_src != NODATA, want, NODATA)
+    assert np.array_equal(got, want)

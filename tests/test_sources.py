@@ -119,3 +119,11 @@ def test_whitebox_to_geotiff(spark, tmp_path):
     meta, df = io.read_geotiff(spark, dst)
     assert (meta.rows, meta.cols) == (188, 237)
     assert _cell(df, 100, 100) == GOLDEN
+
+
+def test_geotiff_tags(spark):
+    tags = io.geotiff_tags(spark, f"{FIX}/DEM.tif").toPandas()
+    got = set(tags["tag"])
+    # width, height, bits/sample, strip offsets must be present
+    assert {256, 257, 258, 273}.issubset(got)
+    assert tags[tags.tag == 256]["value"].iloc[0] == "[237]"
