@@ -150,21 +150,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["max_elev_deviation"] = max_dev_q
 
     # --- hydrology ---------------------------------------------------------
+    # flow accumulations / tiled fill use 48-cell tiles (2x2 grid): the
+    # fixpoint round count scales with cross-tile hops of the longest path
+    def _dem_tiles48(spark):
+        return long_to_tiles(synthetic_dem(spark, GRID_ROWS, GRID_COLS),
+                             META, tile=48)
+
     def d8_pointer_q(spark: SparkSession, sf: str) -> DataFrame:
         out = run_stencil(_dem_tiles(spark), META, hydrology.d8_pointer_kernel,
                           halo=1, tile=TILE)
         return tiles_to_long(out, META, tile=TILE, value_col="dir")
     q["d8_pointer"] = d8_pointer_q
 
-    # flow accumulations use 48-cell tiles (2x2 grid): the fixpoint
-    # round count scales with cross-tile hops of the longest flow path
-    def _dem_tiles48(spark):
-        return long_to_tiles(synthetic_dem(spark, GRID_ROWS, GRID_COLS),
-                             META, tile=48)
     q["d8_flow_accum"] = lambda spark, sf: hydrology.d8_flow_accum(
         _dem_tiles48(spark), META, tile=48)
     q["fill_depressions"] = lambda spark, sf: hydrology.fill_depressions(
         synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
+    q["fill_depressions_tiled"] = lambda spark, sf: \
+        hydrology.fill_depressions_tiled(_dem_tiles48(spark), META, tile=48)
     q["fd8_flow_accum"] = lambda spark, sf: hydrology.fd8_flow_accum(
         _dem_tiles48(spark), META, tile=48)
     q["breach_depressions"] = lambda spark, sf: hydrology.breach_depressions(

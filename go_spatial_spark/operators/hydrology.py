@@ -872,3 +872,229 @@ def breach_streams(dem_grid: DataFrame, streams_grid: DataFrame,
     return (joined.repartition(1)
             .mapInPandas(lambda it: [solve(pd.concat(list(it)))],
                          schema="row int, col int, breached double"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed FillDepressions (tiled priority-flood fixpoint)
+# ---------------------------------------------------------------------------
+# The scale path for fillDepressions.go. Without the flat-fix epsilon
+# (SMALL_NUM=0, i.e. fixFlats=False) the filled surface has a clean
+# closed form: W(c) = max(z(c), min over paths c->edge of the max W
+# along the path) — the "spill elevation". That fixpoint decomposes
+# over tiles: seed each tile's flood from (a) its own edge cells
+# (z, where a NoData/out-of-grid neighbor exists) and (b) the current
+# W estimates of its halo ring; iterate until no W changes. W is
+# monotone non-increasing from +inf and takes values from the finite
+# set of input elevations -> finite, exact convergence. The epsilon
+# path (fixFlats=True) stays on the single-partition exact replay —
+# its increments depend on global heap visit order.
+
+import heapq
+
+
+def _tile_flood(dem_t: np.ndarray, w_t: np.ndarray,
+                halo_pad: np.ndarray, nodata: float) -> np.ndarray:
+    """One tile priority-flood. halo_pad is the (h+2, w+2) ring of
+    current neighbor-W values (nodata where the neighbor cell is
+    NoData, off-grid, or in an absent all-NoData tile; +inf where not
+    yet reached). Edge seeds = valid cells with any NoData-ish
+    8-neighbor (fillDepressions.go:247-259 semantics, epsilon=0)."""
+    h, w = dem_t.shape
+    valid = dem_t != nodata
+    W = w_t.copy()
+    INF = np.float64(1e308)
+    heap = []
+    pad_valid = np.full((h + 2, w + 2), False)
+    pad_valid[1:-1, 1:-1] = valid
+    pad_vals = halo_pad.copy()
+    pad_vals[1:-1, 1:-1] = np.where(valid, dem_t, nodata)
+    # edge seeds: any 8-neighbor NoData (internal, cross-tile, off-grid)
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            edge = False
+            for n in range(8):
+                if pad_vals[1 + r + DY[n], 1 + c + DX[n]] == nodata:
+                    edge = True
+                    break
+            if edge and dem_t[r, c] < W[r, c]:
+                W[r, c] = dem_t[r, c]
+            if edge:
+                heapq.heappush(heap, (W[r, c], r, c))
+    # halo seeds: neighbor-tile W estimates already below +inf
+    hr, hc = np.nonzero((halo_pad != nodata) & (halo_pad < INF))
+    for i in range(len(hr)):
+        heapq.heappush(heap, (float(halo_pad[hr[i], hc[i]]),
+                              int(hr[i]) - 1, int(hc[i]) - 1))
+    while heap:
+        wv, r, c = heapq.heappop(heap)
+        for n in range(8):
+            rn, cn = r + DY[n], c + DX[n]
+            if 0 <= rn < h and 0 <= cn < w and valid[rn, cn]:
+                cand = wv if wv > dem_t[rn, cn] else dem_t[rn, cn]
+                if cand < W[rn, cn]:
+                    W[rn, cn] = cand
+                    heapq.heappush(heap, (cand, rn, cn))
+    return W
+
+
+def fill_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
+                           tile: int = 256,
+                           max_rounds: int = 64) -> DataFrame:
+    """Distributed FillDepressions: textbook Priority-Flood semantics
+    (filled = max(z, minimax spill elevation over paths to an edge),
+    epsilon=0).
+
+    NOTE on reference parity: the Go tool's *seed* priorities use the
+    stale zN from the neighbor scan (fillDepressions.go:262 — the
+    north neighbor's value, NoData for the whole first row), so its
+    output is heap-order-dependent and deviates from minimax near
+    edges. The single-partition `fill_depressions` replays that quirk
+    bit-for-bit; this distributed path implements the specified
+    semantics and is tested against an independent global minimax
+    oracle (test_fill_depressions_tiled_exact).
+
+    Per round: W tiles ship halo strips to neighbors (perimeter-sized
+    shuffle), each tile refloods locally, a signature check stops at
+    the exact fixpoint (W is monotone non-increasing over a finite
+    value set)."""
+    import math as _math
+    spark = dem_tiles.sparkSession
+    nodata = meta.nodata
+    rows, cols = meta.rows, meta.cols
+    n_ty = _math.ceil(rows / tile)
+    n_tx = _math.ceil(cols / tile)
+    dem_cached = dem_tiles.cache()
+    dem_cached.count()
+
+    # W state starts at +inf on valid cells (packed with the DEM plane
+    # so each round's cogroup only moves W strips + joins static tiles)
+    INF = np.float64(1e308)
+
+    def init_w(it):
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                dem_t = np.frombuffer(t.data, dtype=np.float64).reshape(
+                    t.h, t.w)
+                wt = np.where(dem_t != nodata, INF, nodata)
+                yield pd.DataFrame({"ty": [t.ty], "tx": [t.tx],
+                                    "h": [t.h], "w": [t.w],
+                                    "data": [wt.tobytes()]})
+
+    from go_spatial_spark.grid import TILE_SCHEMA, _NEIGHBOR_OFFSETS
+    w_tiles = dem_cached.mapInPandas(init_w, schema=TILE_SCHEMA)
+
+    strip_schema = ("ty int, tx int, src_dty int, src_dtx int, "
+                    "h int, w int, data binary")
+
+    def emit_strips(it):
+        for pdf in it:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.data, dtype=np.float64).reshape(
+                    t.h, t.w)
+                for dty, dtx in _NEIGHBOR_OFFSETS:
+                    nty, ntx = t.ty + dty, t.tx + dtx
+                    if not (0 <= nty < n_ty and 0 <= ntx < n_tx):
+                        continue
+                    rs = slice(0, min(1, t.h)) if dty < 0 else (
+                        slice(max(0, t.h - 1), t.h) if dty > 0
+                        else slice(0, t.h))
+                    cs = slice(0, min(1, t.w)) if dtx < 0 else (
+                        slice(max(0, t.w - 1), t.w) if dtx > 0
+                        else slice(0, t.w))
+                    strip = np.ascontiguousarray(arr[rs, cs])
+                    recs.append((nty, ntx, -dty, -dtx, strip.shape[0],
+                                 strip.shape[1], strip.tobytes()))
+            if recs:
+                yield pd.DataFrame(recs, columns=[
+                    "ty", "tx", "src_dty", "src_dtx", "h", "w", "data"])
+
+    def make_flood(emit_long: bool):
+        def fn(key, dem_pdf: pd.DataFrame, strips_pdf: pd.DataFrame):
+            ty, tx = int(key[0]), int(key[1])
+            if dem_pdf.empty:
+                if emit_long:
+                    return pd.DataFrame({
+                        "row": pd.Series(dtype="int32"),
+                        "col": pd.Series(dtype="int32"),
+                        "filled": pd.Series(dtype="float64")})
+                return pd.DataFrame({
+                    "ty": pd.Series(dtype="int32"),
+                    "tx": pd.Series(dtype="int32"),
+                    "h": pd.Series(dtype="int32"),
+                    "w": pd.Series(dtype="int32"),
+                    "data": pd.Series(dtype=object)})
+            dt = dem_pdf.iloc[0]
+            h, w = int(dt.h), int(dt.w)
+            dem_t = np.frombuffer(dt.dem, dtype=np.float64).reshape(h, w)
+            w_t = np.frombuffer(dt.wdata, dtype=np.float64).reshape(h, w)
+            # halo ring of neighbor W values; nodata = NoData cell,
+            # off-grid, or absent (all-NoData) neighbor tile
+            halo_pad = np.full((h + 2, w + 2), nodata, dtype=np.float64)
+            for srow in strips_pdf.itertuples(index=False):
+                sa = np.frombuffer(srow.data, dtype=np.float64).reshape(
+                    srow.h, srow.w)
+                dty, dtx = int(srow.src_dty), int(srow.src_dtx)
+                rs = slice(0, 1) if dty < 0 else (
+                    slice(h + 1, h + 2) if dty > 0 else slice(1, 1 + sa.shape[0]))
+                cs = slice(0, 1) if dtx < 0 else (
+                    slice(w + 1, w + 2) if dtx > 0 else slice(1, 1 + sa.shape[1]))
+                halo_pad[rs, cs] = sa
+            W = _tile_flood(dem_t, w_t, halo_pad, nodata)
+            if emit_long:
+                rr, cc = np.nonzero(dem_t != nodata)
+                return pd.DataFrame({
+                    "row": (rr + ty * tile).astype(np.int32),
+                    "col": (cc + tx * tile).astype(np.int32),
+                    "filled": W[rr, cc]})
+            return pd.DataFrame({"ty": [ty], "tx": [tx], "h": [h],
+                                 "w": [w], "data": [W.tobytes()]})
+        return fn
+
+    prev_sig = None
+    for rnd in range(max_rounds):
+        strips = w_tiles.mapInPandas(emit_strips, schema=strip_schema)
+        dem_w = (dem_cached.alias("d").join(
+            w_tiles.alias("x"), ["ty", "tx"])
+            .select("ty", "tx", F.col("d.h").alias("h"),
+                    F.col("d.w").alias("w"),
+                    F.col("d.data").alias("dem"),
+                    F.col("x.data").alias("wdata")))
+        new_w = (dem_w.groupBy("ty", "tx")
+                 .cogroup(strips.groupBy("ty", "tx"))
+                 .applyInPandas(make_flood(False), schema=TILE_SCHEMA)
+                 ).cache()
+        # signature: exact sum of finite W values + count (monotone
+        # non-increasing, values from the finite elevation set)
+        def sig_fn(it):
+            tot = 0.0
+            cnt = 0
+            for pdf in it:
+                for t in pdf.itertuples(index=False):
+                    a = np.frombuffer(t.data, dtype=np.float64)
+                    m = (a != nodata) & (a < INF)
+                    # exact: values are dyadic rationals (input z's)
+                    tot += float(a[m].sum())
+                    cnt += int(m.sum())
+            yield pd.DataFrame({"tot": [tot], "cnt": [cnt]})
+        srow = (new_w.mapInPandas(sig_fn, schema="tot double, cnt long")
+                .groupBy().sum().first())
+        sig = (float(srow[0] or 0.0), int(srow[1] or 0))
+        if sig == prev_sig:
+            w_tiles = new_w
+            break
+        prev_sig = sig
+        w_tiles = new_w
+
+    strips = w_tiles.mapInPandas(emit_strips, schema=strip_schema)
+    dem_w = (dem_cached.alias("d").join(w_tiles.alias("x"), ["ty", "tx"])
+             .select("ty", "tx", F.col("d.h").alias("h"),
+                     F.col("d.w").alias("w"),
+                     F.col("d.data").alias("dem"),
+                     F.col("x.data").alias("wdata")))
+    return (dem_w.groupBy("ty", "tx")
+            .cogroup(strips.groupBy("ty", "tx"))
+            .applyInPandas(make_flood(True),
+                           schema="row int, col int, filled double"))
