@@ -62,9 +62,9 @@ def _dem_tiles(spark: SparkSession):
 
 def _stencil_query(kernel, halo, out_col, round_to=None, ctx_extra=None):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = run_stencil(_dem_tiles(spark), META, kernel, halo=halo,
-                          tile=TILE, ctx_extra=ctx_extra)
-        long = tiles_to_long(out, META, tile=TILE, value_col=out_col)
+        long = run_stencil(_dem_tiles(spark), META, kernel, halo=halo,
+                           tile=TILE, ctx_extra=ctx_extra,
+                           output="long", value_col=out_col)
         if round_to is not None:
             long = long.withColumn(out_col, F.round(F.col(out_col), round_to))
         return long

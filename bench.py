@@ -64,9 +64,9 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
     n_docs = docs8.count()
 
     def st(kernel, halo, **extra):
-        return lambda: tiles_to_long(
-            run_stencil(tiles, meta, kernel, halo=halo, tile=T,
-                        ctx_extra=extra or None), meta, tile=T).count()
+        return lambda: run_stencil(
+            tiles, meta, kernel, halo=halo, tile=T,
+            ctx_extra=extra or None, output="long").count()
 
     qs = {
         "slope_3072": st(kernels.slope_kernel, 1),
@@ -127,10 +127,9 @@ def main() -> None:
     pts = geocode(docs).select("doc_id", "lat", "lon")
 
     def st(kernel, halo, **extra):
-        return lambda: tiles_to_long(
-            run_stencil(dem_tiles, BMETA, kernel, halo=halo,
-                        tile=BENCH_TILE, ctx_extra=extra or None),
-            BMETA, tile=BENCH_TILE).count()
+        return lambda: run_stencil(
+            dem_tiles, BMETA, kernel, halo=halo, tile=BENCH_TILE,
+            ctx_extra=extra or None, output="long").count()
 
     bench_queries = {
         "pip_join": lambda: point_in_polygon(pts, spark).count(),

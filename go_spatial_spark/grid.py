@@ -204,6 +204,8 @@ def run_stencil(
     tile: int = 256,
     ctx_extra: dict | None = None,
     boundary: str = "nodata",
+    output: str = "tiles",
+    value_col: str = "value",
 ) -> DataFrame:
     """Run a focal kernel over tile form with halo exchange.
 
@@ -300,9 +302,22 @@ def run_stencil(
                          row0=ty * tile, col0=tx * tile, extra=extra)
         out = kernel(padded, halo, ctx)
         out = np.ascontiguousarray(out, dtype=np.float64)
+        if output == "long":
+            mask = out != nodata
+            rr, cc = np.nonzero(mask)
+            return pd.DataFrame({
+                "row": (rr + ty * tile).astype(np.int32),
+                "col": (cc + tx * tile).astype(np.int32),
+                "value": out[mask]})
         return pd.DataFrame(
             {"ty": [ty], "tx": [tx], "h": [h], "w": [w], "data": [out.tobytes()]})
 
+    if output == "long":
+        long_df = strips.groupBy("ty", "tx").applyInPandas(
+            assemble, schema="row int, col int, value double")
+        if value_col != "value":
+            long_df = long_df.withColumnRenamed("value", value_col)
+        return long_df
     return strips.groupBy("ty", "tx").applyInPandas(assemble, schema=TILE_SCHEMA)
 
 

@@ -136,27 +136,84 @@ def cosine_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5) -> str:
 def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
              nprobe: int = 2) -> DataFrame:
     """IVF ANN: centroids = embeddings of the n_centroids smallest
-    vec_ids; every vector is assigned to its nearest centroid (by the
-    same fold-dot cosine); queries probe their nprobe nearest buckets.
-    Bucket assignment join is an equi-join on centroid id."""
+    vec_ids; every vector is assigned to its nearest centroid; queries
+    probe their nprobe nearest buckets. Assignment runs as one
+    broadcast-centroids mapInPandas pass (fold order preserved);
+    bucket search is an equi-join on centroid id with per-vector
+    precomputed norms — the shuffle-light ANN shape."""
     emb = ensure_parallelism(emb)
-    cents = emb.orderBy("vec_id").limit(n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    cos_vc = (_dot_fold_arrow(F.col("embedding"), F.col("ce"))
-              / (_norm_fold_arrow(F.col("embedding"))
-                 * _norm_fold_arrow(F.col("ce"))))
-    assign_all = (emb.crossJoin(F.broadcast(cents))
-                  .select("vec_id", "embedding", "cid", cos_vc.alias("cc")))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
-    ranked = assign_all.withColumn("arn", F.row_number().over(w_assign))
+    spark = emb.sparkSession
+    cents_pdf = (emb.orderBy("vec_id").limit(n_centroids)
+                 .select("vec_id", "embedding").toPandas())
+    c_ids = cents_pdf["vec_id"].to_numpy()
+    c_mat = np.stack(cents_pdf["embedding"].to_numpy()).astype(np.float64)
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(it):
+        ids, cm, cn = bc.value
+        d = cm.shape[1]
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
+            acc = np.zeros((vm.shape[0], cm.shape[0]))
+            for kk in range(d):
+                acc += vm[:, kk:kk + 1] * cm[None, :, kk].reshape(1, -1)
+            cos = acc / (vn[:, None] * cn[None, :])
+            rows = []
+            for i in range(vm.shape[0]):
+                order = np.lexsort((ids, -cos[i]))[:nprobe]
+                for r, j in enumerate(order, 1):
+                    rows.append((int(pdf["vec_id"].iloc[i]),
+                                 pdf["embedding"].iloc[i],
+                                 int(ids[j]), r, float(vn[i])))
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding",
+                                              "cid", "arn", "norm"])
+
+    ranked = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema=("vec_id long, embedding array<float>, cid long, "
+                        "arn int, norm double")).cache()
     buckets = ranked.where(F.col("arn") == 1).select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), "cid")
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
+        "cid", F.col("norm").alias("nn"))
     probes = ranked.where(F.col("arn") <= nprobe).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid")
-    cand = probes.join(buckets, "cid").where(F.col("qid") != F.col("nid"))
-    cos = (_dot_fold_arrow(F.col("qe"), F.col("ne"))
-           / (_norm_fold_arrow(F.col("qe")) * _norm_fold_arrow(F.col("ne"))))
-    scored = cand.select("qid", "nid", cos.alias("cos")).distinct()
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        "cid", F.col("norm").alias("qn"))
+
+    # per-bucket matrix scoring (one cogroup per centroid id): the
+    # per-bucket local top-k is a superset of each query's global
+    # top-k contribution from that bucket, so the final window merge
+    # over <= nprobe*k rows per query is exact
+    def bucket_score(key, probe_pdf, member_pdf):
+        if probe_pdf.empty or member_pdf.empty:
+            return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                 "nid": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        qm = np.stack(probe_pdf["qe"].to_numpy()).astype(np.float64)
+        qn = probe_pdf["qn"].to_numpy()
+        qids = probe_pdf["qid"].to_numpy()
+        nm = np.stack(member_pdf["ne"].to_numpy()).astype(np.float64)
+        nn = member_pdf["nn"].to_numpy()
+        nids = member_pdf["nid"].to_numpy()
+        acc = np.zeros((qm.shape[0], nm.shape[0]))
+        for kk in range(qm.shape[1]):
+            acc += qm[:, kk:kk + 1] * nm[None, :, kk].reshape(1, -1)
+        cos = acc / (qn[:, None] * nn[None, :])
+        rows = []
+        for i in range(qm.shape[0]):
+            mask = nids != qids[i]
+            order = np.lexsort((nids[mask], -cos[i, mask]))[:k]
+            for j in order:
+                rows.append((int(qids[i]), int(nids[mask][j]),
+                             float(cos[i, mask][j])))
+        return pd.DataFrame(rows, columns=["qid", "nid", "cos"])
+
+    scored = (probes.groupBy("cid").cogroup(buckets.groupBy("cid"))
+              .applyInPandas(bucket_score,
+                             schema="qid long, nid long, cos double")
+              .distinct())
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
