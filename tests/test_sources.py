@@ -127,3 +127,50 @@ def test_geotiff_tags(spark):
     # width, height, bits/sample, strip offsets must be present
     assert {256, 257, 258, 273}.issubset(got)
     assert tags[tags.tag == 256]["value"].iloc[0] == "[237]"
+
+
+def test_las_roundtrip(spark, tmp_path):
+    """Synthesize a minimal LAS 1.2 file (point format 1) and read it
+    back: scale/offset decode per las.go:85-93, bit fields per
+    lasPoint.go:69-149."""
+    import struct
+    n = 100
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    header[24] = 1   # version major
+    header[25] = 2   # version minor
+    struct.pack_into("<H", header, 90, 42)    # file creation yday
+    struct.pack_into("<H", header, 92, 2020)  # year
+    struct.pack_into("<H", header, 94, 227)   # header size
+    struct.pack_into("<I", header, 96, 227)   # offset to points
+    header[104] = 1  # point format 1 (with gps_time)
+    struct.pack_into("<H", header, 105, 28)   # record length
+    struct.pack_into("<I", header, 107, n)    # n points
+    struct.pack_into("<6d", header, 131, 0.01, 0.01, 0.001, 100.0, 200.0, 5.0)
+    pts = bytearray()
+    for i in range(n):
+        rec = bytearray(28)
+        struct.pack_into("<3i", rec, 0, i * 10, i * 20, i * 3)
+        struct.pack_into("<H", rec, 12, i % 7)        # intensity
+        rec[14] = (1 | (2 << 3))                      # return 1 of 2
+        rec[15] = i % 13                              # class
+        struct.pack_into("<d", rec, 20, 1000.0 + i)   # gps_time
+        pts += rec
+    p = str(tmp_path / "t.las")
+    with open(p, "wb") as f:
+        f.write(bytes(header) + bytes(pts))
+
+    df = io.read_las(spark, p).orderBy("gps_time").toPandas()
+    assert len(df) == n
+    assert df["x"].iloc[3] == 3 * 10 * 0.01 + 100.0
+    assert df["y"].iloc[7] == 7 * 20 * 0.01 + 200.0
+    assert df["z"].iloc[9] == 9 * 3 * 0.001 + 5.0
+    assert (df["return_num"] == 1).all()
+    assert (df["num_returns"] == 2).all()
+    assert df["class"].iloc[12] == 12
+
+    info = io.las_info(spark, p).toPandas()
+    assert info["n_points"].iloc[0] == n
+    assert info["version"].iloc[0] == "1.2"
+    assert info["created"].iloc[0] == "2020-02-11"  # yday 42, leap year
+    assert info["point_format"].iloc[0] == 1
