@@ -172,6 +172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _dem_tiles48(spark), META, tile=48)
     q["breach_depressions"] = lambda spark, sf: hydrology.breach_depressions(
         synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
+    # constrained mode (breachDepressions.go:613-778): tight depth/length
+    # constraints + outlet lowering + post-breach floodorder fill replay
+    q["breach_constrained"] = lambda spark, sf: hydrology.breach_depressions(
+        synthetic_dem(spark, GRID_ROWS, GRID_COLS), META,
+        max_depth=2.0, max_length=10, constrained=True,
+        post_breach_fill=True)
 
     def breach_streams_q(spark: SparkSession, sf: str) -> DataFrame:
         dem = synthetic_dem(spark, GRID_ROWS, GRID_COLS)

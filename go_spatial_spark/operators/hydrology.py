@@ -30,6 +30,7 @@ Two execution paths, per SURVEY.md §2.5 / §7:
 from __future__ import annotations
 
 import math
+import sys
 from typing import Iterator
 
 import numpy as np
@@ -555,14 +556,51 @@ BACKLINK = (5, 6, 7, 8, 1, 2, 3, 4)  # breachDepressions.go:297
 
 
 def breach_depressions_np(dem: np.ndarray,
-                          nodata: float = NODATA) -> np.ndarray:
-    """Exact replay of the complete-breach path
-    (breachDepressions.go:293-505): pit pre-lowering to
+                          nodata: float = NODATA,
+                          max_depth: float = -1.0,
+                          max_length: int = -1,
+                          constrained: bool = False,
+                          post_breach_fill: bool = False) -> np.ndarray:
+    """Exact replay of all three BreachDepressions modes
+    (breachDepressions.go:259-814): pit pre-lowering to
     lowestNeighbour - SMALL_NUM (:406-414), edge-seeded priority queue
-    with quantization 10^(5-digits) (:328-329), least-cost carve via
-    backLink trace with an epsilon-decrementing channel (:450-505).
-    Constrained modes (MaxDepth/MaxLength) are follow-on work."""
+    with quantization 10^(5-digits) (:328-329), then
+
+    * complete breach (:450-505) when neither constraint is set:
+      least-cost carve via backLink trace with an epsilon-decrementing
+      channel;
+    * selective breach (:506-612) when MaxDepth/MaxLength is set: a
+      dry-run trace measures path length and depth (vs the ORIGINAL
+      dem, :551) with early exit on either constraint (:562-568); only
+      conforming pits are carved, the rest are left for filling;
+    * constrained breach (:613-778) additionally lowers the outlet of
+      non-conforming pits as far as the constraints allow: the trace
+      records the highest original cell (outletHeight/outletDist,
+      :666-670), the target cut is outletHeight - maxDepth walked out
+      to targetDist = maxLength or outletDist + maxLength/2 (:708-731),
+      and the path is lowered to min(current, zTest) until a cell at
+      or below the pit elevation is met (:733-757).
+
+    When a constraint left unsolved pits and ``post_breach_fill`` is
+    on, the pop order is replayed raising each cell above its
+    downslope neighbor (:783-814).  The reference encodes the PADDED
+    pop coordinates with the UNPADDED column count
+    (``floodorder[i] = row*columns + col`` with row,col in 1..rows/cols,
+    :518-520) so decoding sends every last-column cell to the padding
+    ring where flowdir=0 — i.e. the last column never gets filled.
+    Reproduced verbatim.
+
+    Mode selection mirrors :299-312: a constraint counts as "used"
+    only when > 0, and constrained breaching silently downgrades to
+    complete breaching when no constraint is used.
+    """
     rows, cols = dem.shape
+    max_length_or_depth_used = max_depth > 0 or max_length > 0
+    if max_length_or_depth_used and max_depth == -1:
+        max_depth = sys.float_info.max
+    if max_length_or_depth_used and max_length == -1:
+        max_length = 2**31 - 1
+    perform_constrained = constrained and max_length_or_depth_used
     valid_mask = dem != nodata
     mn = dem[valid_mask].min()
     mx = dem[valid_mask].max()
@@ -613,41 +651,204 @@ def breach_depressions_np(dem: np.ndarray,
                 if lowest != np.inf:
                     out[row + 1, col + 1] = lowest - small
 
-    num_pits_solved = 0
-    while num_pits_solved < num_pits:
-        row, col, flatindex = heap.pop()
-        for i in range(8):
-            rn, cn = row + DY[i], col + DX[i]
-            zn = out[rn, cn]
-            if zn != nodata and not in_queue[rn, cn]:
-                flowdir[rn, cn] = BACKLINK[i]
-                if pits[rn, cn]:
-                    num_pits_solved += 1
-                    # carve: walk the backlink path, epsilon-lowering
-                    ztest = zn
-                    r, c = rn, cn
-                    while True:
-                        ztest -= small
-                        d = flowdir[r, c]
-                        if d > 0:
-                            r += DY[d - 1]
-                            c += DX[d - 1]
-                            zn2 = out[r, c]
-                            if zn2 <= ztest or zn2 == nodata:
+    def carve(rn, cn, zn):
+        # complete-breach channel walk (breachDepressions.go:467-487)
+        ztest = zn
+        r, c = rn, cn
+        while True:
+            ztest -= small
+            d = flowdir[r, c]
+            if d > 0:
+                r += DY[d - 1]
+                c += DX[d - 1]
+                zn2 = out[r, c]
+                if zn2 <= ztest or zn2 == nodata:
+                    break
+                out[r, c] = ztest
+            else:
+                break
+
+    needs_filling = False
+    floodorder: list[int] = []
+
+    if not max_length_or_depth_used:
+        # complete breaching (breachDepressions.go:450-505); the loop
+        # terminates as soon as the last pit is solved, leaving the
+        # rest of the queue unpopped
+        num_pits_solved = 0
+        while num_pits_solved < num_pits:
+            row, col, flatindex = heap.pop()
+            for i in range(8):
+                rn, cn = row + DY[i], col + DX[i]
+                zn = out[rn, cn]
+                if zn != nodata and not in_queue[rn, cn]:
+                    flowdir[rn, cn] = BACKLINK[i]
+                    if pits[rn, cn]:
+                        num_pits_solved += 1
+                        carve(rn, cn, zn)
+                    n = flatindex + 1 if pits[rn, cn] else 0
+                    p = int(int(zn * mult)) * 100000 + (n % 100000)
+                    heap.push((rn, cn, n), p)
+                    in_queue[rn, cn] = True
+    elif not perform_constrained:
+        # selective breaching (breachDepressions.go:506-612): dry-run
+        # trace with constraint early-exit, carve only if conforming
+        while len(heap) > 0:
+            row, col, flatindex = heap.pop()
+            if post_breach_fill:
+                floodorder.append(row * cols + col)  # quirk: unpadded cols
+            for i in range(8):
+                rn, cn = row + DY[i], col + DX[i]
+                zn = out[rn, cn]
+                if zn != nodata and not in_queue[rn, cn]:
+                    flowdir[rn, cn] = BACKLINK[i]
+                    if pits[rn, cn]:
+                        n_in_path = 0
+                        max_path_depth = 0.0
+                        ztest = zn
+                        r, c = rn, cn
+                        while True:
+                            ztest -= small
+                            d = flowdir[r, c]
+                            if d > 0:
+                                r += DY[d - 1]
+                                c += DX[d - 1]
+                                zn2 = out[r, c]
+                                if zn2 <= ztest or zn2 == nodata:
+                                    n_in_path += 1
+                                    break
+                                depth = dem[r - 1, c - 1] - ztest
+                                if depth > max_path_depth:
+                                    max_path_depth = depth
+                            else:
+                                n_in_path += 1
                                 break
-                            out[r, c] = ztest
+                            n_in_path += 1
+                            if n_in_path > max_length:
+                                break
+                            if max_path_depth > max_depth:
+                                break
+                        if (n_in_path <= max_length
+                                and max_path_depth <= max_depth):
+                            carve(rn, cn, zn)
                         else:
-                            break
-                n = flatindex + 1 if pits[rn, cn] else 0
-                p = int(int(zn * mult)) * 100000 + (n % 100000)
-                heap.push((rn, cn, n), p)
-                in_queue[rn, cn] = True
+                            needs_filling = True
+                    n = flatindex + 1 if pits[rn, cn] else 0
+                    p = int(int(zn * mult)) * 100000 + (n % 100000)
+                    heap.push((rn, cn, n), p)
+                    in_queue[rn, cn] = True
+    else:
+        # constrained breaching (breachDepressions.go:613-778)
+        while len(heap) > 0:
+            row, col, flatindex = heap.pop()
+            if post_breach_fill:
+                floodorder.append(row * cols + col)  # quirk: unpadded cols
+            for i in range(8):
+                rn, cn = row + DY[i], col + DX[i]
+                zn = out[rn, cn]
+                if zn != nodata and not in_queue[rn, cn]:
+                    flowdir[rn, cn] = BACKLINK[i]
+                    if pits[rn, cn]:
+                        # full trace, no early exit; record the highest
+                        # ORIGINAL cell along the path (:644-676)
+                        n_in_path = 0
+                        max_path_depth = 0.0
+                        outlet_height = -sys.float_info.max
+                        outlet_dist = 0
+                        ztest = zn
+                        r, c = rn, cn
+                        while True:
+                            ztest -= small
+                            d = flowdir[r, c]
+                            if d > 0:
+                                r += DY[d - 1]
+                                c += DX[d - 1]
+                                zn2 = out[r, c]
+                                if zn2 <= ztest or zn2 == nodata:
+                                    n_in_path += 1
+                                    break
+                                z_orig = dem[r - 1, c - 1]
+                                depth = z_orig - ztest
+                                if depth > max_path_depth:
+                                    max_path_depth = depth
+                                if z_orig > outlet_height:
+                                    outlet_height = z_orig
+                                    outlet_dist = n_in_path
+                            else:
+                                n_in_path += 1
+                                break
+                            n_in_path += 1
+                        if (n_in_path <= max_length
+                                and max_path_depth <= max_depth):
+                            carve(rn, cn, zn)
+                        else:
+                            # lower the outlet as far as allowed
+                            # (:702-757)
+                            needs_filling = True
+                            ztest = outlet_height - max_depth
+                            target_dist = n_in_path
+                            if n_in_path > max_length:
+                                if outlet_dist < max_length // 2:
+                                    target_dist = max_length
+                                else:
+                                    target_dist = (outlet_dist
+                                                   + max_length // 2)
+                                r, c = rn, cn
+                                for _ in range(target_dist):
+                                    d = flowdir[r, c]
+                                    if d > 0:
+                                        r += DY[d - 1]
+                                        c += DX[d - 1]
+                                        ztest = out[r, c]
+                                    else:
+                                        break
+                                if outlet_height - ztest > max_depth:
+                                    ztest = outlet_height - max_depth
+                            r, c = rn, cn
+                            n_in_path = 0
+                            while True:
+                                d = flowdir[r, c]
+                                if d > 0:
+                                    r += DY[d - 1]
+                                    c += DX[d - 1]
+                                    zn2 = out[r, c]
+                                    if zn2 <= zn or zn2 == nodata:
+                                        break
+                                    if out[r, c] > ztest:
+                                        out[r, c] = ztest
+                                else:
+                                    break
+                                n_in_path += 1
+                                if n_in_path > target_dist:
+                                    break
+                    n = flatindex + 1 if pits[rn, cn] else 0
+                    p = int(int(zn * mult)) * 100000 + (n % 100000)
+                    heap.push((rn, cn, n), p)
+                    in_queue[rn, cn] = True
+
+    if needs_filling and post_breach_fill:
+        # post-breach fill replay (:783-814) with the verbatim
+        # encode/decode mismatch: padded coords, unpadded column count
+        for fo in floodorder:
+            row, col = fo // cols, fo % cols
+            z = out[row, col]
+            d = flowdir[row, col]
+            if d > 0:
+                rn, cn = row + DY[d - 1], col + DX[d - 1]
+                zn = out[rn, cn]
+                if zn != nodata and z <= zn + small:
+                    out[row, col] = zn + small
+
     result = out[1:-1, 1:-1].copy()
     result[~valid_mask] = nodata
     return result
 
 
-def breach_depressions(grid: DataFrame, meta: RasterMeta) -> DataFrame:
+def breach_depressions(grid: DataFrame, meta: RasterMeta,
+                       max_depth: float = -1.0,
+                       max_length: int = -1,
+                       constrained: bool = False,
+                       post_breach_fill: bool = False) -> DataFrame:
     """Exact single-partition path (same pattern as fill_depressions)."""
     rows, cols, nodata = meta.rows, meta.cols, meta.nodata
 
@@ -655,7 +856,9 @@ def breach_depressions(grid: DataFrame, meta: RasterMeta) -> DataFrame:
         dem = np.full((rows, cols), nodata, dtype=np.float64)
         dem[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = (
             pdf["value"].to_numpy())
-        out = breach_depressions_np(dem, nodata=nodata)
+        out = breach_depressions_np(
+            dem, nodata=nodata, max_depth=max_depth, max_length=max_length,
+            constrained=constrained, post_breach_fill=post_breach_fill)
         rr, cc = np.nonzero(out != nodata)
         return pd.DataFrame({"row": rr.astype(np.int32),
                              "col": cc.astype(np.int32),
