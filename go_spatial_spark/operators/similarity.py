@@ -286,3 +286,85 @@ def cosine_near_dup_oracle_sql(emb_tbl: str = "embeddings",
     FROM {emb_tbl} q JOIN {emb_tbl} c ON q.vec_id < c.vec_id
     WHERE {dot} / (sqrt({nq}) * sqrt({nc})) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH over embeddings (SimHash-for-vectors ANN)
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 32
+LSH_PER_BAND = 8  # -> 4 bands of 8 bits
+
+
+def _plane_weight_spark(dim: int) -> str:
+    """Deterministic hyperplane entry w(j, d) as an exact dyadic
+    rational — an LCG-style hash mapped to [-0.5, 0.5). All integer
+    intermediates stay < 2^53 so double and int64 agree; the identical
+    expression is emitted for DuckDB, so dot products (fixed fold
+    order) are bit-equal and the bucket bits match exactly."""
+    return (f"(CAST(((j * {dim} + d) * 2654435761) % 2147483648 AS DOUBLE)"
+            f" / 2147483648.0 - 0.5)")
+
+
+def embed_lsh_pairs(emb: DataFrame, n_planes: int = LSH_PLANES,
+                    per_band: int = LSH_PER_BAND,
+                    dim: int = 64) -> DataFrame:
+    """ANN candidate pairs by random-hyperplane LSH: bit_j =
+    sign(<x, H_j>), bits grouped into bands of `per_band`; vectors
+    sharing any full band signature are candidates (a, b), a < b.
+
+    Plan shape: explode(plane index) -> fold dot (fixed order) ->
+    groupBy(vec, band) bit-pack -> self equi-join on (band, sig) —
+    the shuffle-light bucketed ANN path (same shape as MinHash LSH);
+    at scale the join key space is dense enough that AQE handles any
+    hot bucket."""
+    emb = ensure_parallelism(emb)
+    w = _plane_weight_spark(dim)
+    dot = F.expr(
+        "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+        f"(x, d) -> CAST(x AS DOUBLE) * {w}), "
+        "0.0D, (acc, v) -> acc + v)")
+    bits = (emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"),
+        "embedding")
+        .select("vec_id", "j", (dot >= 0).cast("long").alias("bit")))
+    sigs = (bits
+            .groupBy("vec_id",
+                     F.expr(f"j div {per_band}").cast("int").alias("band"))
+            .agg(F.sum(F.expr(
+                f"shiftleft(bit, CAST(j % {per_band} AS INT))"))
+                .alias("sig")))
+    left = sigs.select(F.col("vec_id").alias("a"), "band", "sig")
+    right = sigs.select(F.col("vec_id").alias("b"), "band", "sig")
+    return (left.join(right, ["band", "sig"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def embed_lsh_pairs_oracle_sql(emb_tbl: str = "embeddings",
+                               n_planes: int = LSH_PLANES,
+                               per_band: int = LSH_PER_BAND,
+                               dim: int = 64) -> str:
+    # DuckDB's indexed lambda is 1-based -> d = i - 1
+    w = (f"(CAST((((j * {dim}) + (i - 1)) * 2654435761) % 2147483648 "
+         f"AS DOUBLE) / 2147483648.0 - 0.5)")
+    return f"""
+    WITH planes AS (SELECT range AS j FROM range(0, {n_planes})),
+    dots AS (
+      SELECT e.vec_id, p.j,
+             list_reduce(list_transform(e.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * {w}),
+               (__a, __b) -> __a + __b) AS dot
+      FROM {emb_tbl} e CROSS JOIN planes p),
+    sigs AS (
+      SELECT vec_id, CAST(j // {per_band} AS INT) AS band,
+             SUM((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                 << CAST(j % {per_band} AS INT)) AS sig
+      FROM dots GROUP BY vec_id, CAST(j // {per_band} AS INT)),
+    pairs AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+      WHERE l.vec_id < r.vec_id)
+    SELECT a, b FROM pairs
+    """

@@ -38,20 +38,38 @@ POLYGONS: dict[int, list[tuple[float, float]]] = {
 }
 
 
-def polygon_edges(pid: int):
-    ring = POLYGONS[pid]
+def polygon_edges(pid: int, polygons: dict | None = None):
+    ring = (polygons or POLYGONS)[pid]
     return [(ring[i][0], ring[i][1], ring[(i + 1) % len(ring)][0],
              ring[(i + 1) % len(ring)][1]) for i in range(len(ring))]
 
 
-def _ray_cast_np(px: np.ndarray, py: np.ndarray, pid: int) -> np.ndarray:
+def synthetic_polygons(n: int) -> dict[int, list[tuple[float, float]]]:
+    """Deterministic synthetic polygon set for benchmarks/tests: k-gons
+    (k in 5..8) on a shuffled lon/lat grid with varying radius — no RNG,
+    same set on every run/executor."""
+    import math as _m
+    polys: dict[int, list[tuple[float, float]]] = {}
+    for i in range(1, n + 1):
+        cx = -175.0 + (i * 37) % 350
+        cy = -80.0 + (i * 53) % 160
+        r = 3.0 + (i % 7)
+        k = 5 + (i % 4)
+        polys[i] = [(cx + r * _m.cos(2 * _m.pi * j / k + i),
+                     cy + 0.7 * r * _m.sin(2 * _m.pi * j / k + i))
+                    for j in range(k)]
+    return polys
+
+
+def _ray_cast_np(px: np.ndarray, py: np.ndarray, pid: int,
+                 polygons: dict | None = None) -> np.ndarray:
     """Crossing-number parity, identical expression to the SQL oracle:
     ((y1>py) != (y2>py)) AND (px < (x2-x1)*(py-y1)/(y2-y1)+x1)."""
     inside = np.zeros(px.shape[0], dtype=np.int64)
     # horizontal edges divide by zero, but the crossing test is already
     # False there ((y1>py) == (y2>py)) — mask the warning only
     with np.errstate(divide="ignore", invalid="ignore"):
-        for x1, y1, x2, y2 in polygon_edges(pid):
+        for x1, y1, x2, y2 in polygon_edges(pid, polygons):
             crosses = ((y1 > py) != (y2 > py)) & (
                 px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
             inside += crosses.astype(np.int64)
@@ -59,15 +77,17 @@ def _ray_cast_np(px: np.ndarray, py: np.ndarray, pid: int) -> np.ndarray:
 
 
 def point_in_polygon(points: DataFrame, spark,
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     polygons: dict | None = None) -> DataFrame:
     """points(id, lon, lat) -> (id, polygon_id) membership pairs.
 
     Plan shape: broadcast(polygon bboxes) range-join [prune] ->
     pandas-UDF ray cast [refine]. The bbox predicate is pushed into the
     scan side by Catalyst; the UDF sees candidates only.
     """
+    polygons = polygons or POLYGONS
     bbox_rows = []
-    for pid, ring in POLYGONS.items():
+    for pid, ring in polygons.items():
         xs = [p[0] for p in ring]
         ys = [p[1] for p in ring]
         bbox_rows.append((pid, float(min(xs)), float(max(xs)),
@@ -91,7 +111,7 @@ def point_in_polygon(points: DataFrame, spark,
         ids = pid.to_numpy()
         for p in np.unique(ids):
             m = ids == p
-            out[m] = _ray_cast_np(px[m], py[m], int(p))
+            out[m] = _ray_cast_np(px[m], py[m], int(p), polygons)
         return pd.Series(out)
 
     return (cand.where(refine(F.col("lon"), F.col("lat"), F.col("polygon_id")))
@@ -146,10 +166,21 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
         F.floor(F.col("lon") / cell_size).alias("ngx"),
         F.floor(F.col("lat") / cell_size).alias("ngy"))
 
-    ring = g.join(
+    # Equi-join formulation of the 3x3 ring: explode each query into
+    # its 9 neighbor cells and hash-join on the cell key. A pure range
+    # predicate (ngx BETWEEN qgx±1 ...) has no equi-key and Catalyst
+    # falls back to a nested-loop join — quadratic at scale; the
+    # explode costs 9x query rows but keeps the join linear and
+    # AQE-skew-splittable (urban-hotspot cells).
+    ring_cells = F.expr(
+        "explode(transform(sequence(0, 8), i -> "
+        "struct(qgx + i % 3 - 1 AS gx, qgy + i DIV 3 - 1 AS gy)))")
+    gq = g.select("*", ring_cells.alias("cell")).select(
+        "qid", "qx", "qy", "qgx", "qgy",
+        F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
+    ring = gq.join(
         p,
-        (F.col("ngx") >= F.col("qgx") - 1) & (F.col("ngx") <= F.col("qgx") + 1)
-        & (F.col("ngy") >= F.col("qgy") - 1) & (F.col("ngy") <= F.col("qgy") + 1)
+        (F.col("ngx") == F.col("gx")) & (F.col("ngy") == F.col("gy"))
         & (F.col("nid") != F.col("qid")),
         "inner",
     ).withColumn(

@@ -356,3 +356,45 @@ def max_elev_deviation_oracle_sql(dev_sql_for_scale, scales: list[int]) -> str:
       FROM alls)
     SELECT row, col, dev AS max_dev, scale FROM ranked WHERE rn = 1
     """
+
+
+def hillshade_display_trim(shade: DataFrame,
+                           value_col: str = "value") -> DataFrame:
+    """Display min/max trim at the 1% histogram tails
+    (hillshade.go:196-313): 256-bin global histogram of the shade
+    values, targetCellNum = int(numCells * 0.01), newMin = first bin
+    ascending whose cumulative count reaches the target, newMax = first
+    bin descending. The reference iterates all 256 bins including empty
+    ones (a zero target stops at bin 0 / bin 255), so the histogram is
+    densified with a range(256) left join before the cumulative
+    windows. Pure Catalyst: groupBy(bin).count() + 256-row window sums
+    — the window is a single tiny partition by construction.
+
+    Returns one row (new_min double, new_max double); the reference
+    applies them to the raster display config only when
+    newMax > newMin, never to cell values.
+    """
+    from pyspark.sql.window import Window
+
+    spark = shade.sparkSession
+    bins = spark.range(0, 256).select(F.col("id").cast("int").alias("bin"))
+    h = (shade.select(F.col(value_col).cast("int").alias("bin"))
+         .groupBy("bin").agg(F.count("*").alias("cnt")))
+    full = (bins.join(h, "bin", "left")
+            .select("bin", F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    w_asc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_desc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    g = (full
+         .withColumn("target",
+                     F.floor(F.sum("cnt").over(w_all).cast("double") * 0.01))
+         .withColumn("cum_asc", F.sum("cnt").over(w_asc))
+         .withColumn("cum_desc", F.sum("cnt").over(w_desc)))
+    return g.agg(
+        F.min(F.when(F.col("cum_asc") >= F.col("target"), F.col("bin")))
+        .cast("double").alias("new_min"),
+        F.max(F.when(F.col("cum_desc") >= F.col("target"), F.col("bin")))
+        .cast("double").alias("new_max"))

@@ -195,3 +195,28 @@ def fill_holes_sql(rows: int, cols: int) -> str:
       LEFT JOIN p1 r ON r.row = a.row AND r.col = a.col + 1)
     SELECT row, col, value FROM p2 WHERE value IS NOT NULL
     """
+
+
+def hillshade_trim_sql(rows: int, cols: int) -> str:
+    """Display-trim oracle (hillshade.go:282-313): 256-bin histogram of
+    the hillshade oracle output, 1% tails, reference's
+    iterate-all-bins semantics via a dense range(256) join."""
+    hs = hillshade_sql(rows, cols)
+    return f"""
+    WITH shade AS ({hs}),
+    hist AS (
+      SELECT b.range AS bin, count(s.shade) AS cnt
+      FROM range(0, 256) b LEFT JOIN shade s ON CAST(s.shade AS INT) = b.range
+      GROUP BY b.range),
+    g AS (
+      SELECT bin, cnt,
+             FLOOR(SUM(cnt) OVER () * 0.01) AS target,
+             SUM(cnt) OVER (ORDER BY bin) AS cum_asc,
+             SUM(cnt) OVER (ORDER BY bin DESC) AS cum_desc
+      FROM hist)
+    SELECT CAST(MIN(CASE WHEN cum_asc >= target THEN bin END) AS DOUBLE)
+             AS new_min,
+           CAST(MAX(CASE WHEN cum_desc >= target THEN bin END) AS DOUBLE)
+             AS new_max
+    FROM g
+    """

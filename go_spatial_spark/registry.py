@@ -140,5 +140,125 @@ def _register_builtins() -> None:
                   "FD8 multiple-flow-direction accumulation",
                   ["input DEM", "output grid"], _fd8))
 
+    def _breach(spark, grid, meta, max_depth: float = -1.0,
+                max_length: int = -1, constrained: bool = False,
+                post_breach_fill: bool = False, **kw):
+        from go_spatial_spark.operators.hydrology import breach_depressions
+        return breach_depressions(grid, meta, max_depth=max_depth,
+                                  max_length=max_length,
+                                  constrained=constrained,
+                                  post_breach_fill=post_breach_fill)
+    register(Tool("BreachDepressions",
+                  "Breaches depressions in a DEM (least-cost carving; "
+                  "optional MaxDepth/MaxLength constraints, constrained "
+                  "outlet lowering, post-breach filling)",
+                  ["input DEM", "output DEM", "max depth", "max length",
+                   "constrained breaching", "post-breach filling"],
+                  _breach))
+
+    def _breach_streams(spark, grid, meta, streams: DataFrame = None, **kw):
+        from go_spatial_spark.operators.hydrology import breach_streams
+        if streams is None:
+            raise ValueError("BreachStreams needs streams= grid")
+        return breach_streams(grid, streams, meta)
+    register(Tool("BreachStreams",
+                  "Carves a stream network into a DEM "
+                  "(unregistered in the reference: breachStreams.go)",
+                  ["input DEM", "input streams", "output DEM"],
+                  _breach_streams))
+
+    def _diff_mean(spark, grid, meta, r: int = 8, **kw):
+        from go_spatial_spark.operators.window_stats import diff_from_mean
+        return diff_from_mean(grid, meta.rows, meta.cols, r=r)
+    register(Tool("DifferenceFromMean",
+                  "Difference from mean elevation (windowed)",
+                  ["input grid", "output grid", "neighbourhood size"],
+                  _diff_mean))
+
+    def _dev_trad(spark, grid, meta, r: int = 8, **kw):
+        # the traditional method IS the DEV range-join expression
+        # (deviationFromMeanTraditionalMethod.go:174-299) — same output
+        # as the integral-image tool, brute-force plan
+        return _REGISTRY["deviationfrommean"].fn(spark, grid, meta,
+                                                 r=r, **kw)
+    register(Tool("DeviationFromMeanTraditional",
+                  "Brute-force DEV (the reference's oracle variant; "
+                  "unregistered in the reference)",
+                  ["input grid", "output grid", "neighbourhood size"],
+                  _dev_trad))
+
+    def _elev_pct(spark, grid, meta, r: int = 5, num_bins: int = 10, **kw):
+        import numpy as np
+        from go_spatial_spark.grid import NODATA
+        from go_spatial_spark.operators import window_stats as WS
+        pdf = grid.toPandas()
+        dem_np = np.full((meta.rows, meta.cols), NODATA)
+        dem_np[pdf["row"], pdf["col"]] = pdf["value"]
+        mn, bs, bn, vp = WS.elevation_percentile_maps(dem_np, NODATA,
+                                                      num_bins)
+        tile = int(kw.get("tile", 256))
+        out = run_stencil(long_to_tiles(grid, meta, tile=tile), meta,
+                          WS.elevation_percentile_kernel, halo=r, tile=tile,
+                          ctx_extra={"r": r, "mn": mn, "bin_size": bs,
+                                     "bin_num": bn, "val_prob": vp,
+                                     "num_bins": num_bins})
+        return tiles_to_long(out, meta, tile=tile, value_col="percentile")
+    register(Tool("ElevationPercentile",
+                  "Local elevation percentile (integral histogram)",
+                  ["input grid", "output grid", "neighbourhood size",
+                   "number of bins"], _elev_pct))
+
+    def _max_dev(spark, grid, meta, scales=(4, 8, 12), tile: int = 256,
+                 **kw):
+        from go_spatial_spark.operators import window_stats as WS
+        mn, mx = grid.agg(F.min("value"), F.max("value")).first()
+        k = mn + (mx - mn) / 2.0
+        return WS.max_elev_deviation(long_to_tiles(grid, meta, tile=tile),
+                                     meta, tile, scales=list(scales), k=k)
+    register(Tool("MaximumElevationDeviation",
+                  "Multiscale max |DEV| + scale raster",
+                  ["input grid", "output magnitude", "output scale",
+                   "min scale", "max scale", "step"], _max_dev))
+
+    def _wb2gt(spark, grid, meta, input_file: str = None,
+               output_file: str = None, **kw):
+        from go_spatial_spark.sources.raster_io import whitebox_to_geotiff
+        if not input_file or not output_file:
+            raise ValueError("Whitebox2GeoTiff needs input_file=/output_file=")
+        whitebox_to_geotiff(spark, input_file, output_file)
+        from go_spatial_spark.sources.raster_io import read_geotiff
+        _meta, df = read_geotiff(spark, output_file)
+        return df
+    register(Tool("Whitebox2GeoTiff",
+                  "Converts a Whitebox .dep/.tas raster to GeoTIFF",
+                  ["input file", "output file"], _wb2gt))
+
+    def _gt_tags(spark, grid, meta, input_file: str = None, **kw):
+        from go_spatial_spark.sources.raster_io import geotiff_tags
+        if not input_file:
+            raise ValueError("PrintGeoTiffTags needs input_file=")
+        return geotiff_tags(spark, input_file)
+    register(Tool("PrintGeoTiffTags", "Prints a GeoTIFF's tag table",
+                  ["input file"], _gt_tags))
+
+    def _las_info(spark, grid, meta, input_file: str = None, **kw):
+        from go_spatial_spark.sources.raster_io import las_info
+        if not input_file:
+            raise ValueError("PrintLASInfo needs input_file=")
+        return las_info(spark, input_file)
+    register(Tool("PrintLASInfo", "Prints a LAS file's header summary",
+                  ["input file"], _las_info))
+
+    def _hs_trim(spark, grid, meta, tile: int = 256, **kw):
+        from go_spatial_spark.operators.window_stats import (
+            hillshade_display_trim)
+        shade = run_stencil(long_to_tiles(grid, meta, tile=tile), meta,
+                            kernels.hillshade_kernel, halo=1, tile=tile,
+                            output="long")
+        return hillshade_display_trim(shade)
+    register(Tool("HillshadeDisplayTrim",
+                  "Hillshade display min/max at 1% histogram tails",
+                  ["input DEM", "output (new_min,new_max)"], _hs_trim))
+
 
 _register_builtins()

@@ -40,6 +40,12 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
         # stalls at local[32] on Arrow-UDF stages); fresh forks are
         # cheap and scale linearly
         .config("spark.python.worker.reuse", "false")
+        # fresh forks inherit a daemon that has ALREADY imported
+        # numpy/pandas/pyarrow (copy-on-write) — removes the ~0.5-1s
+        # per-worker import cost that made reuse=false expensive
+        # (measured: 1024^2 stencil 2.1s -> 1.2s, Arrow cosine stage
+        # 4s -> 1.3s at local[32], stable across trials)
+        .config("spark.python.daemon.module", "go_spatial_spark.daemon")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -113,3 +113,24 @@ def test_reflect_boundary_policy(spark):
             want += pad[1 + dy:1 + dy + rows, 1 + dx:1 + dx + cols]
     want = np.where(want_src != NODATA, want, NODATA)
     assert np.array_equal(got, want)
+
+
+def test_synthetic_dem_tiles_matches_packed(spark):
+    from go_spatial_spark.grid import (
+        RasterMeta, long_to_tiles, synthetic_dem, synthetic_dem_tiles)
+    meta = RasterMeta(rows=70, cols=53)
+    a = long_to_tiles(synthetic_dem(spark, 70, 53), meta, tile=32)
+    b = synthetic_dem_tiles(spark, 70, 53, tile=32)
+    pa = {(r.ty, r.tx): (r.h, r.w, bytes(r.data)) for r in a.collect()}
+    pb = {(r.ty, r.tx): (r.h, r.w, bytes(r.data)) for r in b.collect()}
+    # long_to_tiles drops all-NoData tiles; tile-direct emits them — the
+    # stencil runner treats absent == all-NoData, so compare the common
+    # set exactly and require every extra tile to be all-NoData
+    import numpy as np
+    from go_spatial_spark.grid import NODATA
+    for key, (h, w, data) in pa.items():
+        assert pb[key] == (h, w, data), key
+    for key in set(pb) - set(pa):
+        h, w, data = pb[key]
+        arr = np.frombuffer(data, dtype=np.float64)
+        assert (arr == NODATA).all()

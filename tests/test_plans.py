@@ -58,5 +58,12 @@ def test_knn_plan_shuffles_on_cell(spark, sf01):
     pts = geocode(spark.read.parquet(f"{sf01}/documents.parquet")) \
         .select("doc_id", "lat", "lon")
     plan = _plan(knn_self(pts, k=5))
-    # ring join must not be a cartesian product
-    assert "CartesianProduct" not in plan.split("left_anti")[0]
+    # ring join must be an equi (hash) join on the cell key — a pure
+    # range-predicate ring falls back to nested-loop, quadratic at
+    # scale. The ring join is the first join in the plan tree (union
+    # branch 1); the brute-force fallback (a deliberate broadcast
+    # nested-loop over the unresolved remainder) comes after.
+    import re
+    joins = re.findall(r"\w*Join\w*", plan)
+    assert joins and "HashJoin" in joins[0], joins
+    assert "CartesianProduct" not in plan
