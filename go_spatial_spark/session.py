@@ -49,6 +49,17 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    if os.environ.get("SPARK_GRAFT_PRETOUCH"):
+        # Benchmark mode: commit + zero the whole heap up front. The
+        # JVM's lazy heap growth otherwise charges page-commit faults to
+        # the first few *queries* (measured: first stencil run 28-48s vs
+        # 7s steady-state at 16384^2 in this VM) — exactly the noise a
+        # cluster executor with -Xms=-Xmx never sees. Costs ~1s/GB at
+        # session start, excluded from every timed region.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch")
     # single-threaded math libs inside the (many) python workers:
     # 32 workers x N BLAS/Arrow threads oversubscribes the host
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",

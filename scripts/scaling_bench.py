@@ -40,10 +40,16 @@ GROUPS = ("docs", "raster")
 
 
 def run_group(cpus: int, group: str, sf_dir: str) -> dict:
+    # Fixed, pre-touched heap per JVM (-Xms=-Xmx + AlwaysPreTouch):
+    # lazy heap growth otherwise charges multi-second page-commit
+    # faults to the first timed queries — a cluster executor is always
+    # started with a committed heap, so the bench should be too.
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_BENCH_MODE="scaling",
-               SPARK_GRAFT_SCALE_GROUP=group)
+               SPARK_GRAFT_SCALE_GROUP=group,
+               SPARK_GRAFT_PRETOUCH="1",
+               SPARK_GRAFT_DRIVER_MEM="30g" if group == "docs" else "12g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600)

@@ -134,3 +134,55 @@ def test_synthetic_dem_tiles_matches_packed(spark):
         h, w, data = pb[key]
         arr = np.frombuffer(data, dtype=np.float64)
         assert (arr == NODATA).all()
+
+
+def test_copartitioned_cogroup_stencil_bit_exact(spark):
+    """The strip-only-shuffle cogroup path (copartitioned=True) must be
+    bit-identical to the classic full-shuffle path, for a small halo
+    (slope) and a multi-cell halo (DEV r=5), on a ragged-edge grid."""
+    from go_spatial_spark import kernels
+    from go_spatial_spark.grid import (
+        RasterMeta, run_stencil, synthetic_dem_tiles)
+
+    meta = RasterMeta(rows=70, cols=53)
+    tiles = synthetic_dem_tiles(spark, 70, 53, tile=32)
+    part = tiles.repartition("ty", "tx")
+    for kernel, halo, extra in (
+            (kernels.slope_kernel, 1, None),
+            (kernels.deviation_from_mean_kernel, 5, {"r": 5, "k": 80.0})):
+        a = run_stencil(tiles, meta, kernel, halo=halo, tile=32,
+                        ctx_extra=extra, output="long")
+        b = run_stencil(part, meta, kernel, halo=halo, tile=32,
+                        ctx_extra=extra, output="long", copartitioned=True)
+        ra = {(r.row, r.col): r.value for r in a.collect()}
+        rb = {(r.row, r.col): r.value for r in b.collect()}
+        assert ra == rb
+
+
+def test_copartitioned_elides_big_side_exchange(spark):
+    """Plan assertion: with a (ty,tx)-hash-partitioned input the cogroup
+    stencil must NOT re-shuffle tile payloads — the only Exchange in the
+    plan is the strips side (ENSURE_REQUIREMENTS). This is the property
+    that keeps stencil shuffle volume O(perimeter) at 100 TB."""
+    from go_spatial_spark import kernels
+    from go_spatial_spark.grid import (
+        RasterMeta, run_stencil, synthetic_dem_tiles)
+
+    meta = RasterMeta(rows=70, cols=53)
+    part = synthetic_dem_tiles(spark, 70, 53, tile=32) \
+        .repartition("ty", "tx").cache()
+    try:
+        part.count()
+        out = run_stencil(part, meta, kernels.slope_kernel, halo=1,
+                          tile=32, output="tiles", copartitioned=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        cg = next(i for i, l in enumerate(lines)
+                  if "FlatMapCoGroupsInArrow" in l)
+        # left child (the tile payloads) comes straight from the cached
+        # scan: no ENSURE_REQUIREMENTS exchange between cogroup and scan
+        left_region = "\n".join(lines[cg:cg + 3])
+        assert "ENSURE_REQUIREMENTS" not in left_region, plan
+        assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    finally:
+        part.unpersist()
