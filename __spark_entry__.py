@@ -175,6 +175,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
     q["fill_depressions_tiled"] = lambda spark, sf: \
         hydrology.fill_depressions_tiled(_dem_tiles48(spark), META, tile=48)
+    # distributed minimax-path breach (order-free specified semantics;
+    # iterative fixpoints -> no oracle_sql entry, rows-only check; the
+    # bit-exact oracle is the single-node replay in
+    # test_breach_tiled_matches_replay)
+    q["breach_tiled"] = lambda spark, sf: hydrology.breach_depressions_tiled(
+        _dem_tiles48(spark), META, tile=48)
     q["fd8_flow_accum"] = lambda spark, sf: hydrology.fd8_flow_accum(
         _dem_tiles48(spark), META, tile=48)
     q["breach_depressions"] = lambda spark, sf: hydrology.breach_depressions(

@@ -1162,14 +1162,22 @@ def fill_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
     shuffle), each tile refloods locally, a signature check stops at
     the exact fixpoint (W is monotone non-increasing over a finite
     value set)."""
+    dem_cached = dem_tiles.cache()
+    dem_cached.count()
+    w_tiles = _spill_w_tiles(dem_cached, meta, tile, max_rounds)
+    return _w_to_filled_long(dem_cached, w_tiles, meta, tile)
+
+
+def _spill_w_tiles(dem_cached: DataFrame, meta: RasterMeta,
+                   tile: int, max_rounds: int) -> DataFrame:
+    """Tile-form spill surface W (the epsilon=0 priority-flood
+    fixpoint); shared by fill_depressions_tiled and
+    breach_depressions_tiled. `dem_cached` must already be cached."""
     import math as _math
-    spark = dem_tiles.sparkSession
     nodata = meta.nodata
     rows, cols = meta.rows, meta.cols
     n_ty = _math.ceil(rows / tile)
     n_tx = _math.ceil(cols / tile)
-    dem_cached = dem_tiles.cache()
-    dem_cached.count()
 
     # W state starts at +inf on valid cells (packed with the DEM plane
     # so each round's cogroup only moves W strips + joins static tiles)
@@ -1265,10 +1273,14 @@ def fill_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
                     F.col("d.w").alias("w"),
                     F.col("d.data").alias("dem"),
                     F.col("x.data").alias("wdata")))
+        # localCheckpoint (eager): truncates per-round lineage — the
+        # cached-only variant's logical plan grows ~3x per round and
+        # every downstream action re-analyzes the whole tree (measured
+        # minutes of pure planning at 8+ rounds)
         new_w = (dem_w.groupBy("ty", "tx")
                  .cogroup(strips.groupBy("ty", "tx"))
                  .applyInPandas(make_flood(False), schema=TILE_SCHEMA)
-                 ).cache()
+                 ).localCheckpoint()
         # signature: exact sum of finite W values + count (monotone
         # non-increasing, values from the finite elevation set)
         def sig_fn(it):
@@ -1290,14 +1302,594 @@ def fill_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
             break
         prev_sig = sig
         w_tiles = new_w
+    return w_tiles
 
-    strips = w_tiles.mapInPandas(emit_strips, schema=strip_schema)
+
+def _w_to_filled_long(dem_cached: DataFrame, w_tiles: DataFrame,
+                      meta: RasterMeta, tile: int) -> DataFrame:
+    """Final fill pass: one more tile flood emitting long form."""
+    nodata = meta.nodata
+
+    def emit(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                dem_t = np.frombuffer(t.dem, dtype=np.float64).reshape(
+                    t.h, t.w)
+                w_t = np.frombuffer(t.wdata, dtype=np.float64).reshape(
+                    t.h, t.w)
+                rr, cc = np.nonzero(dem_t != nodata)
+                outs.append(pd.DataFrame({
+                    "row": (rr + t.ty * tile).astype(np.int32),
+                    "col": (cc + t.tx * tile).astype(np.int32),
+                    "filled": w_t[rr, cc]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
     dem_w = (dem_cached.alias("d").join(w_tiles.alias("x"), ["ty", "tx"])
              .select("ty", "tx", F.col("d.h").alias("h"),
                      F.col("d.w").alias("w"),
                      F.col("d.data").alias("dem"),
                      F.col("x.data").alias("wdata")))
-    return (dem_w.groupBy("ty", "tx")
-            .cogroup(strips.groupBy("ty", "tx"))
-            .applyInPandas(make_flood(True),
-                           schema="row int, col int, filled double"))
+    return dem_w.mapInPandas(emit, schema="row int, col int, filled double")
+
+
+# ---------------------------------------------------------------------------
+# Distributed BreachDepressions (minimax-path carving)
+# ---------------------------------------------------------------------------
+# The scale path for breachDepressions.go full-breach mode. The Go
+# tool's carve is heap-order-dependent (back-links record whichever
+# neighbor popped first among equal priorities, breachDepressions.go:
+# 450-505), so — exactly as with FillDepressions — the distributed
+# operator implements *specified, order-free* semantics and the
+# single-partition `breach_depressions` replay keeps bit parity with
+# the Go fixture behavior:
+#
+#   W  = epsilon=0 spill surface (priority-flood fixpoint);
+#   D  = distance-to-drop inside each equal-W plateau (the classic
+#        flat-resolution distance);
+#   backlink(c) = the unique neighbor minimizing (W, D, z, flatindex)
+#        among neighbors with (W, D) <lex (W(c), D(c)) — a
+#        deterministic minimax flow tree, terminal at outlet cells
+#        (any NoData / off-grid 8-neighbor);
+#   carve: from every strict interior pit p walk the backlink chain to
+#        an outlet carrying v := min(v, z(cell)) (v starts at z_p),
+#        setting each cell to min(z, v) — the epsilon->0 limit of the
+#        reference's lastValue walk (breachDepressions.go:472-505).
+#
+# The carved surface drains: along every walked path values are
+# non-increasing, so no strict interior pit survives
+# (test_breach_tiled_* asserts this plus exact equality with the
+# single-node replay of the same semantics).
+#
+# Shuffle profile per round: O(perimeter) strips for the W and D
+# fixpoints; the walker loop moves only live walker rows (#pits at
+# most, shrinking as paths merge — per-cell min-v dominance drops
+# dominated walkers).
+
+
+def _plateau_distance_np(dem: np.ndarray, W: np.ndarray,
+                         nodata: float) -> np.ndarray:
+    """Single-node D: unit-distance to a W-drop (or outlet) within each
+    equal-W plateau. INF never survives (every plateau has a drop)."""
+    import heapq as _hq
+    rows, cols = dem.shape
+    valid = dem != nodata
+    D = np.full((rows, cols), np.iinfo(np.int64).max, dtype=np.int64)
+    heap = []
+    for r in range(rows):
+        for c in range(cols):
+            if not valid[r, c]:
+                continue
+            drop = False
+            for n in range(8):
+                rn, cn = r + DY[n], c + DX[n]
+                if not (0 <= rn < rows and 0 <= cn < cols) or \
+                        not valid[rn, cn]:
+                    drop = True   # outlet
+                    break
+                if W[rn, cn] < W[r, c]:
+                    drop = True
+                    break
+            if drop:
+                D[r, c] = 0
+                _hq.heappush(heap, (0, r, c))
+    while heap:
+        d, r, c = _hq.heappop(heap)
+        if d > D[r, c]:
+            continue
+        for n in range(8):
+            rn, cn = r + DY[n], c + DX[n]
+            if 0 <= rn < rows and 0 <= cn < cols and valid[rn, cn] \
+                    and W[rn, cn] == W[r, c] and d + 1 < D[rn, cn]:
+                D[rn, cn] = d + 1
+                _hq.heappush(heap, (d + 1, rn, cn))
+    return D
+
+
+def _backlinks_np(dem: np.ndarray, W: np.ndarray, D: np.ndarray,
+                  cols_global: int, nodata: float,
+                  row0: int = 0, col0: int = 0) -> np.ndarray:
+    """Per-cell backlink direction 0..7; -1 = outlet (terminal);
+    -2 = invalid. Deterministic: argmin (W, D, z, global flatindex)
+    over neighbors strictly lexicographically below in (W, D)."""
+    rows, cols = dem.shape
+    bl = np.full((rows, cols), -2, dtype=np.int8)
+    valid = dem != nodata
+    for r in range(rows):
+        for c in range(cols):
+            if not valid[r, c]:
+                continue
+            outlet = False
+            best = None
+            best_dir = -2
+            for n in range(8):
+                rn, cn = r + DY[n], c + DX[n]
+                if not (0 <= rn < rows and 0 <= cn < cols) or \
+                        not valid[rn, cn]:
+                    outlet = True
+                    break
+                if (W[rn, cn], D[rn, cn]) < (W[r, c], D[r, c]):
+                    key = (W[rn, cn], D[rn, cn], dem[rn, cn],
+                           (row0 + rn) * cols_global + (col0 + cn))
+                    if best is None or key < best:
+                        best = key
+                        best_dir = n
+            bl[r, c] = -1 if outlet else best_dir
+    return bl
+
+
+def breach_minimax_np(dem: np.ndarray, nodata: float = NODATA
+                      ) -> np.ndarray:
+    """Single-node replay of the distributed breach semantics (the
+    oracle for breach_depressions_tiled)."""
+    rows, cols = dem.shape
+    valid = dem != nodata
+    W0 = np.where(valid, np.float64(1e308), nodata)
+    halo_pad = np.full((rows + 2, cols + 2), nodata, dtype=np.float64)
+    W = _tile_flood(dem, W0, halo_pad, nodata)
+    D = _plateau_distance_np(dem, W, nodata)
+    bl = _backlinks_np(dem, W, D, cols, nodata)
+    out = dem.copy()
+    for r in range(rows):
+        for c in range(cols):
+            if not valid[r, c] or bl[r, c] == -1:
+                continue
+            is_pit = True
+            for n in range(8):
+                rn, cn = r + DY[n], c + DX[n]
+                if not valid[rn, cn] or dem[rn, cn] <= dem[r, c]:
+                    is_pit = False
+                    break
+            if not is_pit:
+                continue
+            v = dem[r, c]
+            rr, cc = r, c
+            while True:
+                v = min(v, dem[rr, cc])
+                if v < out[rr, cc]:
+                    out[rr, cc] = v
+                d = bl[rr, cc]
+                if d < 0:
+                    break
+                rr += DY[d]
+                cc += DX[d]
+    return out
+
+
+def _make_emit_strips(n_ty: int, n_tx: int):
+    """1-wide halo strip emitter over TILE_SCHEMA planes (shared by the
+    distributed fixpoints; shuffle volume O(perimeter) per tile)."""
+    from go_spatial_spark.grid import _NEIGHBOR_OFFSETS
+
+    def emit_strips(it):
+        for pdf in it:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.data, dtype=np.float64).reshape(
+                    t.h, t.w)
+                for dty, dtx in _NEIGHBOR_OFFSETS:
+                    nty, ntx = t.ty + dty, t.tx + dtx
+                    if not (0 <= nty < n_ty and 0 <= ntx < n_tx):
+                        continue
+                    rs = slice(0, min(1, t.h)) if dty < 0 else (
+                        slice(max(0, t.h - 1), t.h) if dty > 0
+                        else slice(0, t.h))
+                    cs = slice(0, min(1, t.w)) if dtx < 0 else (
+                        slice(max(0, t.w - 1), t.w) if dtx > 0
+                        else slice(0, t.w))
+                    strip = np.ascontiguousarray(arr[rs, cs])
+                    recs.append((nty, ntx, -dty, -dtx, strip.shape[0],
+                                 strip.shape[1], strip.tobytes()))
+            if recs:
+                yield pd.DataFrame(recs, columns=[
+                    "ty", "tx", "src_dty", "src_dtx", "h", "w", "data"])
+    return emit_strips
+
+
+_STRIPS_SCHEMA = ("ty int, tx int, src_dty int, src_dtx int, "
+                  "h int, w int, data binary")
+
+
+def _paste_ring(pad: np.ndarray, h: int, w: int,
+                strips_pdf: pd.DataFrame) -> None:
+    """Paste 1-wide neighbor strips into the ring of a (h+2, w+2) pad."""
+    for srow in strips_pdf.itertuples(index=False):
+        sa = np.frombuffer(srow.data, dtype=np.float64).reshape(
+            srow.h, srow.w)
+        dty, dtx = int(srow.src_dty), int(srow.src_dtx)
+        rs = slice(0, 1) if dty < 0 else (
+            slice(h + 1, h + 2) if dty > 0 else slice(1, 1 + sa.shape[0]))
+        cs = slice(0, 1) if dtx < 0 else (
+            slice(w + 1, w + 2) if dtx > 0 else slice(1, 1 + sa.shape[1]))
+        pad[rs, cs] = sa
+
+
+def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
+                             tile: int = 256, max_rounds: int = 64
+                             ) -> DataFrame:
+    """Distributed BreachDepressions (full-breach, minimax-path carve).
+
+    Semantics: see the section comment above — W spill fixpoint, D
+    plateau-distance fixpoint, deterministic backlink forest, then
+    walkers from every strict interior pit carve min(z, v) with
+    v := min(v, z) along the chain to an outlet. Exactly equal to
+    `breach_minimax_np` on the assembled grid.
+
+    Returns long form (row, col, value) of the carved DEM.
+    """
+    spark = dem_tiles.sparkSession
+    nodata = meta.nodata
+    rows, cols = meta.rows, meta.cols
+    n_ty = math.ceil(rows / tile)
+    n_tx = math.ceil(cols / tile)
+    INF = np.float64(1e308)
+    from go_spatial_spark.grid import TILE_SCHEMA, tiles_to_long
+
+    dem_cached = dem_tiles.cache()
+    dem_cached.count()
+    emit_strips = _make_emit_strips(n_ty, n_tx)
+    import os as _os
+    import time as _time
+    _dbg = (print if _os.environ.get("GSS_DEBUG") else (lambda *a: None))
+    _t0 = _time.time()
+
+    # ---- phase A: spill surface W (shared fixpoint) -------------------
+    w_tiles = _spill_w_tiles(dem_cached, meta, tile, max_rounds) \
+        .localCheckpoint()
+    _dbg(f"[breach] W fixpoint {_time.time()-_t0:.1f}s"); _t0 = _time.time()
+
+    # ---- phase B: plateau distance D ---------------------------------
+    # static per-tile padded W plane (W halo ring is needed every round
+    # to know plateau adjacency across tile edges). One strip exchange.
+    def make_wpad(key, w_pdf, strips_pdf):
+        if w_pdf.empty:
+            return pd.DataFrame({"ty": pd.Series(dtype="int32"),
+                                 "tx": pd.Series(dtype="int32"),
+                                 "h": pd.Series(dtype="int32"),
+                                 "w": pd.Series(dtype="int32"),
+                                 "data": pd.Series(dtype=object)})
+        t = w_pdf.iloc[0]
+        h, w = int(t.h), int(t.w)
+        pad = np.full((h + 2, w + 2), nodata, dtype=np.float64)
+        pad[1:-1, 1:-1] = np.frombuffer(
+            t.data, dtype=np.float64).reshape(h, w)
+        _paste_ring(pad, h, w, strips_pdf)
+        return pd.DataFrame({"ty": [int(key[0])], "tx": [int(key[1])],
+                             "h": [h], "w": [w], "data": [pad.tobytes()]})
+
+    w_strips = w_tiles.mapInPandas(emit_strips, schema=_STRIPS_SCHEMA)
+    wpad_tiles = (w_tiles.groupBy("ty", "tx")
+                  .cogroup(w_strips.groupBy("ty", "tx"))
+                  .applyInPandas(make_wpad, schema=TILE_SCHEMA)
+                  ).localCheckpoint()
+
+    def shifts8(pad):
+        h, w = pad.shape[0] - 2, pad.shape[1] - 2
+        return [pad[1 + DY[n]:1 + DY[n] + h, 1 + DX[n]:1 + DX[n] + w]
+                for n in range(8)]
+
+    # D0: 0 at outlets / W-drops, INF elsewhere on valid cells
+    def init_d(it):
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                h, w = int(t.h), int(t.w)
+                pad = np.frombuffer(t.data, dtype=np.float64).reshape(
+                    h + 2, w + 2)
+                Wt = pad[1:-1, 1:-1]
+                valid = Wt != nodata
+                drop = np.zeros((h, w), dtype=bool)
+                for s in shifts8(pad):
+                    drop |= (s == nodata) | (s < Wt)
+                d0 = np.where(valid, np.where(drop, 0.0, INF), nodata)
+                yield pd.DataFrame({"ty": [t.ty], "tx": [t.tx],
+                                    "h": [h], "w": [w],
+                                    "data": [d0.tobytes()]})
+
+    d_tiles = wpad_tiles.mapInPandas(
+        init_d, schema=TILE_SCHEMA).localCheckpoint()
+    _dbg(f"[breach] wpad+initD {_time.time()-_t0:.1f}s"); _t0 = _time.time()
+
+    def make_relax(fnodata):
+        def relax(key, static_pdf, strips_pdf):
+            # static: (wpad, current D); strips: neighbor D ring
+            if static_pdf.empty:
+                return pd.DataFrame({"ty": pd.Series(dtype="int32"),
+                                     "tx": pd.Series(dtype="int32"),
+                                     "h": pd.Series(dtype="int32"),
+                                     "w": pd.Series(dtype="int32"),
+                                     "data": pd.Series(dtype=object)})
+            t = static_pdf.iloc[0]
+            h, w = int(t.h), int(t.w)
+            wpad = np.frombuffer(t.wpad, dtype=np.float64).reshape(
+                h + 2, w + 2)
+            D = np.frombuffer(t.ddata, dtype=np.float64).reshape(
+                h, w).copy()
+            dpad = np.full((h + 2, w + 2), INF, dtype=np.float64)
+            _paste_ring(dpad, h, w, strips_pdf)
+            Wt = wpad[1:-1, 1:-1]
+            valid = Wt != nodata
+            heap = []
+            Wsh = shifts8(wpad)
+            # ring-only D shifts: interior of dpad is INF (only ring
+            # holds neighbor values), so relaxation from own interior
+            # uses D directly below
+            Dsh = shifts8(dpad)
+            cand = D.copy()
+            for n in range(8):
+                ok = valid & (Wsh[n] == Wt) & (Dsh[n] < INF) & \
+                    (Dsh[n] != nodata)
+                np.minimum(cand, np.where(ok, Dsh[n] + 1.0, INF),
+                           out=cand, where=valid)
+            rr, cc = np.nonzero(valid & (cand < INF))
+            for i in range(len(rr)):
+                heapq.heappush(heap, (cand[rr[i], cc[i]],
+                                      int(rr[i]), int(cc[i])))
+            Dn = np.where(valid, INF, fnodata)
+            while heap:
+                dv, r, c = heapq.heappop(heap)
+                if dv >= Dn[r, c]:
+                    continue
+                Dn[r, c] = dv
+                for n in range(8):
+                    rn, cn = r + DY[n], c + DX[n]
+                    if 0 <= rn < h and 0 <= cn < w and valid[rn, cn] \
+                            and Wt[rn, cn] == Wt[r, c] \
+                            and dv + 1.0 < Dn[rn, cn]:
+                        heapq.heappush(heap, (dv + 1.0, rn, cn))
+            return pd.DataFrame({"ty": [int(key[0])],
+                                 "tx": [int(key[1])],
+                                 "h": [h], "w": [w],
+                                 "data": [Dn.tobytes()]})
+        return relax
+
+    static_wd = None
+    prev_sig = None
+    for _ in range(max_rounds):
+        d_strips = d_tiles.mapInPandas(emit_strips, schema=_STRIPS_SCHEMA)
+        static_wd = (wpad_tiles.alias("wp").join(
+            d_tiles.alias("dd"), ["ty", "tx"])
+            .select("ty", "tx", F.col("wp.h").alias("h"),
+                    F.col("wp.w").alias("w"),
+                    F.col("wp.data").alias("wpad"),
+                    F.col("dd.data").alias("ddata")))
+        # localCheckpoint (eager): truncates the per-round lineage so
+        # round k's plan never re-derives rounds 0..k-1 (measured: the
+        # cached variant re-analyzed + partially recomputed the whole
+        # chain, 13x slower per round and growing)
+        new_d = (static_wd.groupBy("ty", "tx")
+                 .cogroup(d_strips.groupBy("ty", "tx"))
+                 .applyInPandas(make_relax(nodata), schema=TILE_SCHEMA)
+                 ).localCheckpoint()
+
+        def sig_fn(it):
+            tot = 0.0
+            cnt = 0
+            for pdf in it:
+                for t in pdf.itertuples(index=False):
+                    a = np.frombuffer(t.data, dtype=np.float64)
+                    m = (a != nodata) & (a < INF)
+                    tot += float(a[m].sum())
+                    cnt += int(m.sum())
+            yield pd.DataFrame({"tot": [tot], "cnt": [cnt]})
+
+        srow = (new_d.mapInPandas(sig_fn, schema="tot double, cnt long")
+                .groupBy().sum().first())
+        sig = (float(srow[0] or 0.0), int(srow[1] or 0))
+        d_tiles = new_d
+        _dbg(f"[breach] D round sig={sig} {_time.time()-_t0:.1f}s")
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # ---- phase C: backlink forest + pit seeds ------------------------
+    def make_backlinks(key, static_pdf, strips_pdf):
+        # static: (wpad, zpad-interior dem, final D); strips: D ring
+        if static_pdf.empty:
+            return pd.DataFrame({"ty": pd.Series(dtype="int32"),
+                                 "tx": pd.Series(dtype="int32"),
+                                 "h": pd.Series(dtype="int32"),
+                                 "w": pd.Series(dtype="int32"),
+                                 "data": pd.Series(dtype=object)})
+        t = static_pdf.iloc[0]
+        ty, tx = int(key[0]), int(key[1])
+        h, w = int(t.h), int(t.w)
+        wpad = np.frombuffer(t.wpad, dtype=np.float64).reshape(
+            h + 2, w + 2)
+        zpad = np.frombuffer(t.zpad, dtype=np.float64).reshape(
+            h + 2, w + 2)
+        D = np.frombuffer(t.ddata, dtype=np.float64).reshape(h, w)
+        dpad = np.full((h + 2, w + 2), INF, dtype=np.float64)
+        dpad[1:-1, 1:-1] = D
+        _paste_ring(dpad, h, w, strips_pdf)
+        Wt = wpad[1:-1, 1:-1]
+        valid = Wt != nodata
+        r0, c0 = ty * tile, tx * tile
+        # global flat index of each neighbor
+        gr = np.arange(r0, r0 + h, dtype=np.int64)[:, None] + \
+            np.zeros(w, dtype=np.int64)[None, :]
+        gc = np.zeros(h, dtype=np.int64)[:, None] + \
+            np.arange(c0, c0 + w, dtype=np.int64)[None, :]
+        Wsh, Dsh, Zsh = shifts8(wpad), shifts8(dpad), shifts8(zpad)
+        Dt = D
+        outlet = np.zeros((h, w), dtype=bool)
+        for n in range(8):
+            outlet |= Wsh[n] == nodata
+        bW = np.full((h, w), np.inf)
+        bD = np.full((h, w), np.inf)
+        bz = np.full((h, w), np.inf)
+        bidx = np.full((h, w), np.iinfo(np.int64).max, dtype=np.int64)
+        bdir = np.full((h, w), -2, dtype=np.int8)
+        for n in range(8):
+            Wn, Dn_, zn = Wsh[n], Dsh[n], Zsh[n]
+            idxn = (gr + DY[n]) * np.int64(cols) + (gc + DX[n])
+            mask = valid & ~outlet & (Wn != nodata) & (
+                (Wn < Wt) | ((Wn == Wt) & (Dn_ < Dt)))
+            better = mask & (
+                (Wn < bW) | ((Wn == bW) & (
+                    (Dn_ < bD) | ((Dn_ == bD) & (
+                        (zn < bz) | ((zn == bz) & (idxn < bidx)))))))
+            bW = np.where(better, Wn, bW)
+            bD = np.where(better, Dn_, bD)
+            bz = np.where(better, zn, bz)
+            bidx = np.where(better, idxn, bidx)
+            bdir = np.where(better, np.int8(n), bdir)
+        bl = np.where(valid, np.where(outlet, np.int8(-1), bdir),
+                      np.int8(-2)).astype(np.int8)
+        return pd.DataFrame({"ty": [ty], "tx": [tx], "h": [h], "w": [w],
+                             "data": [bl.tobytes()]})
+
+    # zpad: padded DEM plane (same one-strip-exchange construction)
+    z_strips = dem_cached.mapInPandas(emit_strips, schema=_STRIPS_SCHEMA)
+    zpad_tiles = (dem_cached.groupBy("ty", "tx")
+                  .cogroup(z_strips.groupBy("ty", "tx"))
+                  .applyInPandas(make_wpad, schema=TILE_SCHEMA)
+                  ).localCheckpoint()
+
+    d_final_strips = d_tiles.mapInPandas(emit_strips,
+                                         schema=_STRIPS_SCHEMA)
+    static_wzd = (wpad_tiles.alias("wp")
+                  .join(zpad_tiles.alias("zp"), ["ty", "tx"])
+                  .join(d_tiles.alias("dd"), ["ty", "tx"])
+                  .select("ty", "tx", F.col("wp.h").alias("h"),
+                          F.col("wp.w").alias("w"),
+                          F.col("wp.data").alias("wpad"),
+                          F.col("zp.data").alias("zpad"),
+                          F.col("dd.data").alias("ddata")))
+    bl_tiles = (static_wzd.groupBy("ty", "tx")
+                .cogroup(d_final_strips.groupBy("ty", "tx"))
+                .applyInPandas(make_backlinks, schema=TILE_SCHEMA)
+                ).localCheckpoint()
+    _dbg(f"[breach] backlinks {_time.time()-_t0:.1f}s"); _t0 = _time.time()
+
+    # pit seeds: strict interior local minima (all 8 neighbors valid
+    # and strictly higher) — vectorized over the padded DEM plane
+    def find_pits(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                h, w = int(t.h), int(t.w)
+                zpad = np.frombuffer(t.data, dtype=np.float64).reshape(
+                    h + 2, w + 2)
+                zt = zpad[1:-1, 1:-1]
+                valid = zt != nodata
+                pit = valid.copy()
+                for s in shifts8(zpad):
+                    pit &= (s != nodata) & (s > zt)
+                rr, cc = np.nonzero(pit)
+                if len(rr):
+                    outs.append(pd.DataFrame({
+                        "row": (rr + t.ty * tile).astype(np.int32),
+                        "col": (cc + t.tx * tile).astype(np.int32),
+                        "v": zt[pit]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    worklist = zpad_tiles.mapInPandas(
+        find_pits, schema="row int, col int, v double").localCheckpoint()
+
+    # ---- phase D: walker loop ----------------------------------------
+    walk_static = (dem_cached.alias("d").join(
+        bl_tiles.alias("b"), ["ty", "tx"])
+        .select("ty", "tx", F.col("d.h").alias("h"),
+                F.col("d.w").alias("w"),
+                F.col("d.data").alias("dem"),
+                F.col("b.data").alias("bl"))).localCheckpoint()
+
+    def walk_fn(key, static_pdf, walkers_pdf):
+        empty = pd.DataFrame({"row": pd.Series(dtype="int32"),
+                              "col": pd.Series(dtype="int32"),
+                              "v": pd.Series(dtype="float64"),
+                              "cont": pd.Series(dtype="bool")})
+        if static_pdf.empty or walkers_pdf.empty:
+            return empty
+        t = static_pdf.iloc[0]
+        h, w = int(t.h), int(t.w)
+        dem_t = np.frombuffer(t.dem, dtype=np.float64).reshape(h, w)
+        bl_t = np.frombuffer(t.bl, dtype=np.int8).reshape(h, w)
+        ty, tx = int(key[0]), int(key[1])
+        r0, c0 = ty * tile, tx * tile
+        best: dict = {}
+        rows_out = []
+        order = walkers_pdf.sort_values("v")
+        for rg, cg, v in zip(order["row"].to_numpy(),
+                             order["col"].to_numpy(),
+                             order["v"].to_numpy()):
+            r, c = int(rg) - r0, int(cg) - c0
+            v = float(v)
+            while True:
+                z = dem_t[r, c]
+                if z < v:
+                    v = z
+                b = best.get((r, c))
+                if b is not None and b <= v:
+                    break          # dominated by an earlier walker
+                best[(r, c)] = v
+                if v < z:
+                    rows_out.append((r0 + r, c0 + c, v, False))
+                d = int(bl_t[r, c])
+                if d < 0:
+                    break          # outlet (or invalid; cannot happen)
+                rn, cn = r + DY[d], c + DX[d]
+                if 0 <= rn < h and 0 <= cn < w:
+                    r, c = rn, cn
+                else:
+                    rows_out.append((r0 + rn, c0 + cn, v, True))
+                    break
+        if not rows_out:
+            return empty
+        return pd.DataFrame(rows_out,
+                            columns=["row", "col", "v", "cont"])
+
+    walk_schema = "row int, col int, v double, cont boolean"
+    carve_parts = []
+    for _rnd in range(max_rounds * max(n_ty, n_tx)):
+        n_live = worklist.count()
+        _dbg(f"[breach] walk round {_rnd} live={n_live} "
+             f"{_time.time()-_t0:.1f}s"); _t0 = _time.time()
+        if n_live == 0:
+            break
+        keyed = worklist.withColumn(
+            "ty", (F.col("row") / tile).cast("int")).withColumn(
+            "tx", (F.col("col") / tile).cast("int"))
+        out = (walk_static.groupBy("ty", "tx")
+               .cogroup(keyed.groupBy("ty", "tx"))
+               .applyInPandas(walk_fn, schema=walk_schema)
+               ).localCheckpoint()
+        carve_parts.append(out.where(~F.col("cont"))
+                           .select("row", "col", "v"))
+        worklist = (out.where(F.col("cont"))
+                    .groupBy("row", "col").agg(F.min("v").alias("v"))
+                    ).localCheckpoint()
+
+    dem_long = tiles_to_long(dem_cached, meta, tile)
+    if not carve_parts:
+        return dem_long
+    carves = carve_parts[0]
+    for p in carve_parts[1:]:
+        carves = carves.unionByName(p)
+    carve_min = carves.groupBy("row", "col").agg(F.min("v").alias("v"))
+    return (dem_long.join(carve_min, ["row", "col"], "left")
+            .select("row", "col",
+                    F.least(F.col("value"), F.coalesce(
+                        F.col("v"), F.col("value"))).alias("value")))

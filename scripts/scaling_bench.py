@@ -98,9 +98,12 @@ def main() -> None:
         " / 20k vectors / a 16384^2 synthetic DEM, 1024 tiles),"
         " identical queries,"
         " three local parallelism levels. Protocol: one JVM per (level,"
-        " input-group); per query 1 warm-up + min of 3 timed runs (the"
-        " reference's own benchmark protocol is a 10-run average,"
-        " benchmarkFillDepressions.go:80-182).",
+        " input-group) with a fixed pre-touched heap (-Xms=-Xmx,"
+        " AlwaysPreTouch — what a cluster executor sees); per query 1-2"
+        " warm-ups + min of 3 timed runs (the reference's own protocol"
+        " is a 10-run average, benchmarkFillDepressions.go:80-182)."
+        " Stencils run the co-partitioned strip-only-shuffle path"
+        " (tile payloads never re-shuffle; see grid.run_stencil).",
         "",
         "## Headline: N=2 -> 4N=8 cores",
         "",

@@ -223,3 +223,50 @@ def test_breach_constrained_spark_matches_replay(spark):
                              max_depth=0.1, max_length=5, constrained=True,
                              post_breach_fill=True), "breached")
     assert np.array_equal(got, want)
+
+
+def _strict_pits(dem, nodata=NODATA):
+    """Cells strictly below ALL 8 in-bounds valid neighbors, with no
+    NoData/off-grid contact (the seeds breaching must eliminate)."""
+    rows, cols = dem.shape
+    n = 0
+    for r in range(rows):
+        for c in range(cols):
+            z = dem[r, c]
+            if z == nodata:
+                continue
+            pit = True
+            for k in range(8):
+                r2, c2 = r + H.DY[k], c + H.DX[k]
+                if not (0 <= r2 < rows and 0 <= c2 < cols) or \
+                        dem[r2, c2] == nodata or dem[r2, c2] <= z:
+                    pit = False
+                    break
+            if pit:
+                n += 1
+    return n
+
+
+def test_breach_minimax_np_invariants():
+    dem = synthetic_dem_numpy(ROWS, COLS)
+    assert _strict_pits(dem) > 0
+    out = H.breach_minimax_np(dem)
+    valid = dem != NODATA
+    assert np.array_equal(out == NODATA, ~valid)
+    # carving only lowers, and drains every strict pit
+    assert np.all(out[valid] <= dem[valid])
+    assert (out[valid] < dem[valid]).sum() > 0
+    assert _strict_pits(out) == 0
+
+
+def test_breach_tiled_matches_replay(spark):
+    """Distributed minimax-path breach == single-node replay of the
+    same specified semantics, bit-exact, on ragged tiles."""
+    dem_np = synthetic_dem_numpy(ROWS, COLS)
+    want = H.breach_minimax_np(dem_np)
+    tiles = long_to_tiles(synthetic_dem(spark, ROWS, COLS), META,
+                          tile=TILE)
+    got = _collect(H.breach_depressions_tiled(tiles, META, tile=TILE),
+                   "value")
+    assert np.array_equal(got, want)
+    assert _strict_pits(got) == 0

@@ -174,3 +174,37 @@ def test_las_roundtrip(spark, tmp_path):
     assert info["version"].iloc[0] == "1.2"
     assert info["created"].iloc[0] == "2020-02-11"  # yday 42, leap year
     assert info["point_format"].iloc[0] == 1
+
+
+def test_bucketed_tile_store_roundtrip_and_exchange_free(spark, tmp_path):
+    """Tiles written bucketed on (ty,tx) scan back with a partitioning
+    that satisfies the stencil cogroup — values round-trip exactly and
+    the stencil plan has no exchange on the tile-payload side."""
+    from go_spatial_spark import kernels
+    from go_spatial_spark.grid import (
+        RasterMeta, run_stencil, synthetic_dem_tiles)
+    from go_spatial_spark.sources.tile_store import (
+        read_tiles_bucketed, write_tiles_bucketed)
+
+    meta = RasterMeta(rows=70, cols=53, nodata=-1.0)
+    tiles = synthetic_dem_tiles(spark, 70, 53, tile=32)
+    write_tiles_bucketed(tiles, meta, "t_store_test", buckets=4,
+                         path=str(tmp_path / "t_store"))
+    try:
+        back, meta2 = read_tiles_bucketed(spark, "t_store_test")
+        assert (meta2.rows, meta2.cols, meta2.nodata) == (70, 53, -1.0)
+        a = {(r.ty, r.tx): bytes(r.data) for r in tiles.collect()}
+        b = {(r.ty, r.tx): bytes(r.data) for r in back.collect()}
+        assert a == b
+        out = run_stencil(back, meta2, kernels.slope_kernel, halo=1,
+                          tile=32, output="tiles", copartitioned=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        cg = next(i for i, l in enumerate(lines)
+                  if "FlatMapCoGroupsInArrow" in l)
+        assert "Exchange" not in "\n".join(lines[cg:cg + 3]), plan
+        # exactly one exchange total: the strips side
+        assert plan.count("Exchange") == 1, plan
+        assert out.count() == tiles.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_store_test")
