@@ -350,8 +350,10 @@ def d8_flow_accum(dem_tiles: DataFrame, meta: RasterMeta, tile: int = 256,
         outflow = (ptr_tiles.groupBy("ty", "tx")
                    .cogroup(with_keys.groupBy("ty", "tx"))
                    .applyInPandas(make_rounder(False), schema=out_schema))
+        # localCheckpoint: truncate per-round lineage (see the W/D
+        # fixpoints — plan analysis cost otherwise grows with rounds)
         new_inflows = (outflow.groupBy("row", "col")
-                       .agg(F.sum("v").alias("inflow"))).cache()
+                       .agg(F.sum("v").alias("inflow"))).localCheckpoint()
         sig_row = new_inflows.agg(
             F.count("*"), F.coalesce(F.sum("inflow"), F.lit(0.0))).first()
         sig = (sig_row[0], float(sig_row[1]))
@@ -525,7 +527,7 @@ def fd8_flow_accum(dem_tiles: DataFrame, meta: RasterMeta, tile: int = 256,
                    .cogroup(keyed.groupBy("ty", "tx"))
                    .applyInPandas(make_rounder(False), schema=out_schema))
         new_inflows = (outflow.groupBy("row", "col")
-                       .agg(F.sum("v").alias("inflow"))).cache()
+                       .agg(F.sum("v").alias("inflow"))).localCheckpoint()
         srow = new_inflows.agg(
             F.count("*"), F.coalesce(F.sum("inflow"), F.lit(0.0))).first()
         sig = (srow[0], float(srow[1]))
