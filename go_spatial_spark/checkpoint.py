@@ -67,6 +67,34 @@ class CheckpointManager:
         self._record(name, out, time.perf_counter() - t0)
         return out
 
+    # -- per-round helpers for the iterative fixpoint operators --------
+
+    def completed_rounds(self, prefix: str) -> list[int]:
+        """Round numbers with a completed `<prefix>/round=<k>` stage."""
+        d = self._path(prefix)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("round=") and self.has_stage(
+                    os.path.join(prefix, name)):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def converged_round(self, prefix: str) -> int | None:
+        """Final round number if the fixpoint already converged."""
+        p = os.path.join(self._path(prefix), "_converged")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return None
+
+    def mark_converged(self, prefix: str, rnd: int) -> None:
+        os.makedirs(self._path(prefix), exist_ok=True)
+        with open(os.path.join(self._path(prefix), "_converged"),
+                  "w") as f:
+            f.write(str(rnd))
+
     def metrics(self) -> list[dict]:
         if not os.path.exists(self.metrics_path):
             return []

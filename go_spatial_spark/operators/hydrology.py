@@ -1145,8 +1145,8 @@ def _tile_flood(dem_t: np.ndarray, w_t: np.ndarray,
 
 
 def fill_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
-                           tile: int = 256,
-                           max_rounds: int = 64) -> DataFrame:
+                           tile: int = 256, max_rounds: int = 64,
+                           ckpt_dir: str | None = None) -> DataFrame:
     """Distributed FillDepressions: textbook Priority-Flood semantics
     (filled = max(z, minimax spill elevation over paths to an edge),
     epsilon=0).
@@ -1166,15 +1166,26 @@ def fill_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
     value set)."""
     dem_cached = dem_tiles.cache()
     dem_cached.count()
-    w_tiles = _spill_w_tiles(dem_cached, meta, tile, max_rounds)
+    ckpt = None
+    if ckpt_dir is not None:
+        from go_spatial_spark.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(ckpt_dir)
+    w_tiles = _spill_w_tiles(dem_cached, meta, tile, max_rounds,
+                             ckpt=ckpt)
     return _w_to_filled_long(dem_cached, w_tiles, meta, tile)
 
 
 def _spill_w_tiles(dem_cached: DataFrame, meta: RasterMeta,
-                   tile: int, max_rounds: int) -> DataFrame:
+                   tile: int, max_rounds: int,
+                   ckpt=None, ckpt_prefix: str = "fill_w") -> DataFrame:
     """Tile-form spill surface W (the epsilon=0 priority-flood
     fixpoint); shared by fill_depressions_tiled and
-    breach_depressions_tiled. `dem_cached` must already be cached."""
+    breach_depressions_tiled. `dem_cached` must already be cached.
+
+    With `ckpt` (a CheckpointManager), every round persists to
+    `<prefix>/round=<k>` with per-partition row metrics, and a restart
+    resumes from the last completed round (north_rule: resumable at
+    tile granularity)."""
     import math as _math
     nodata = meta.nodata
     rows, cols = meta.rows, meta.cols
@@ -1266,8 +1277,41 @@ def _spill_w_tiles(dem_cached: DataFrame, meta: RasterMeta,
                                  "w": [w], "data": [W.tobytes()]})
         return fn
 
+    # signature: exact sum of finite W values + count (monotone
+    # non-increasing, values from the finite elevation set)
+    def sig_fn(it):
+        tot = 0.0
+        cnt = 0
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                a = np.frombuffer(t.data, dtype=np.float64)
+                m = (a != nodata) & (a < INF)
+                # exact: values are dyadic rationals (input z's)
+                tot += float(a[m].sum())
+                cnt += int(m.sum())
+        yield pd.DataFrame({"tot": [tot], "cnt": [cnt]})
+
+    def sig_of(df):
+        srow = (df.mapInPandas(sig_fn, schema="tot double, cnt long")
+                .groupBy().sum().first())
+        return (float(srow[0] or 0.0), int(srow[1] or 0))
+
+    spark = dem_cached.sparkSession
     prev_sig = None
-    for rnd in range(max_rounds):
+    start_round = 0
+    if ckpt is not None:
+        done = ckpt.converged_round(ckpt_prefix)
+        if done is not None:
+            return ckpt.read_stage(
+                spark, f"{ckpt_prefix}/round={done}")
+        rounds = ckpt.completed_rounds(ckpt_prefix)
+        if rounds:
+            w_tiles = ckpt.read_stage(
+                spark, f"{ckpt_prefix}/round={rounds[-1]}")
+            prev_sig = sig_of(w_tiles)
+            start_round = rounds[-1] + 1
+
+    for rnd in range(start_round, max_rounds):
         strips = w_tiles.mapInPandas(emit_strips, schema=strip_schema)
         dem_w = (dem_cached.alias("d").join(
             w_tiles.alias("x"), ["ty", "tx"])
@@ -1275,35 +1319,26 @@ def _spill_w_tiles(dem_cached: DataFrame, meta: RasterMeta,
                     F.col("d.w").alias("w"),
                     F.col("d.data").alias("dem"),
                     F.col("x.data").alias("wdata")))
-        # localCheckpoint (eager): truncates per-round lineage — the
-        # cached-only variant's logical plan grows ~3x per round and
-        # every downstream action re-analyzes the whole tree (measured
-        # minutes of pure planning at 8+ rounds)
-        new_w = (dem_w.groupBy("ty", "tx")
+        built = (dem_w.groupBy("ty", "tx")
                  .cogroup(strips.groupBy("ty", "tx"))
-                 .applyInPandas(make_flood(False), schema=TILE_SCHEMA)
-                 ).localCheckpoint()
-        # signature: exact sum of finite W values + count (monotone
-        # non-increasing, values from the finite elevation set)
-        def sig_fn(it):
-            tot = 0.0
-            cnt = 0
-            for pdf in it:
-                for t in pdf.itertuples(index=False):
-                    a = np.frombuffer(t.data, dtype=np.float64)
-                    m = (a != nodata) & (a < INF)
-                    # exact: values are dyadic rationals (input z's)
-                    tot += float(a[m].sum())
-                    cnt += int(m.sum())
-            yield pd.DataFrame({"tot": [tot], "cnt": [cnt]})
-        srow = (new_w.mapInPandas(sig_fn, schema="tot double, cnt long")
-                .groupBy().sum().first())
-        sig = (float(srow[0] or 0.0), int(srow[1] or 0))
+                 .applyInPandas(make_flood(False), schema=TILE_SCHEMA))
+        # Both branches materialize + truncate the per-round lineage
+        # (the cached-only variant's logical plan grows ~3x per round
+        # and every downstream action re-analyzes the whole tree —
+        # measured minutes of pure planning at 8+ rounds). The ckpt
+        # branch additionally persists the round + partition metrics.
+        if ckpt is not None:
+            new_w = ckpt.run_stage(spark, f"{ckpt_prefix}/round={rnd}",
+                                   lambda: built)
+        else:
+            new_w = built.localCheckpoint()
+        sig = sig_of(new_w)
+        w_tiles = new_w
         if sig == prev_sig:
-            w_tiles = new_w
+            if ckpt is not None:
+                ckpt.mark_converged(ckpt_prefix, rnd)
             break
         prev_sig = sig
-        w_tiles = new_w
     return w_tiles
 
 
@@ -1528,8 +1563,8 @@ def _paste_ring(pad: np.ndarray, h: int, w: int,
 
 
 def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
-                             tile: int = 256, max_rounds: int = 64
-                             ) -> DataFrame:
+                             tile: int = 256, max_rounds: int = 64,
+                             ckpt_dir: str | None = None) -> DataFrame:
     """Distributed BreachDepressions (full-breach, minimax-path carve).
 
     Semantics: see the section comment above — W spill fixpoint, D
@@ -1537,6 +1572,10 @@ def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
     walkers from every strict interior pit carve min(z, v) with
     v := min(v, z) along the chain to an outlet. Exactly equal to
     `breach_minimax_np` on the assembled grid.
+
+    With `ckpt_dir`, every fixpoint round (W, D, walk) persists with
+    per-partition row metrics and a restarted job resumes from the
+    last completed round (north_rule checkpoint/resume contract).
 
     Returns long form (row, col, value) of the carved DEM.
     """
@@ -1556,8 +1595,14 @@ def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
     _dbg = (print if _os.environ.get("GSS_DEBUG") else (lambda *a: None))
     _t0 = _time.time()
 
+    ckpt = None
+    if ckpt_dir is not None:
+        from go_spatial_spark.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(ckpt_dir)
+
     # ---- phase A: spill surface W (shared fixpoint) -------------------
-    w_tiles = _spill_w_tiles(dem_cached, meta, tile, max_rounds) \
+    w_tiles = _spill_w_tiles(dem_cached, meta, tile, max_rounds,
+                             ckpt=ckpt, ckpt_prefix="w") \
         .localCheckpoint()
     _dbg(f"[breach] W fixpoint {_time.time()-_t0:.1f}s"); _t0 = _time.time()
 
@@ -1665,9 +1710,37 @@ def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
                                  "data": [Dn.tobytes()]})
         return relax
 
-    static_wd = None
+    def sig_fn(it):
+        tot = 0.0
+        cnt = 0
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                a = np.frombuffer(t.data, dtype=np.float64)
+                m = (a != nodata) & (a < INF)
+                tot += float(a[m].sum())
+                cnt += int(m.sum())
+        yield pd.DataFrame({"tot": [tot], "cnt": [cnt]})
+
+    def sig_of(df):
+        srow = (df.mapInPandas(sig_fn, schema="tot double, cnt long")
+                .groupBy().sum().first())
+        return (float(srow[0] or 0.0), int(srow[1] or 0))
+
     prev_sig = None
-    for _ in range(max_rounds):
+    start_round = 0
+    if ckpt is not None:
+        done = ckpt.converged_round("d")
+        if done is not None:
+            d_tiles = ckpt.read_stage(spark, f"d/round={done}")
+            start_round = max_rounds  # skip the loop entirely
+        else:
+            rounds = ckpt.completed_rounds("d")
+            if rounds:
+                d_tiles = ckpt.read_stage(spark, f"d/round={rounds[-1]}")
+                prev_sig = sig_of(d_tiles)
+                start_round = rounds[-1] + 1
+
+    for _rnd_d in range(start_round, max_rounds):
         d_strips = d_tiles.mapInPandas(emit_strips, schema=_STRIPS_SCHEMA)
         static_wd = (wpad_tiles.alias("wp").join(
             d_tiles.alias("dd"), ["ty", "tx"])
@@ -1675,32 +1748,24 @@ def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
                     F.col("wp.w").alias("w"),
                     F.col("wp.data").alias("wpad"),
                     F.col("dd.data").alias("ddata")))
-        # localCheckpoint (eager): truncates the per-round lineage so
-        # round k's plan never re-derives rounds 0..k-1 (measured: the
-        # cached variant re-analyzed + partially recomputed the whole
-        # chain, 13x slower per round and growing)
-        new_d = (static_wd.groupBy("ty", "tx")
+        built = (static_wd.groupBy("ty", "tx")
                  .cogroup(d_strips.groupBy("ty", "tx"))
-                 .applyInPandas(make_relax(nodata), schema=TILE_SCHEMA)
-                 ).localCheckpoint()
-
-        def sig_fn(it):
-            tot = 0.0
-            cnt = 0
-            for pdf in it:
-                for t in pdf.itertuples(index=False):
-                    a = np.frombuffer(t.data, dtype=np.float64)
-                    m = (a != nodata) & (a < INF)
-                    tot += float(a[m].sum())
-                    cnt += int(m.sum())
-            yield pd.DataFrame({"tot": [tot], "cnt": [cnt]})
-
-        srow = (new_d.mapInPandas(sig_fn, schema="tot double, cnt long")
-                .groupBy().sum().first())
-        sig = (float(srow[0] or 0.0), int(srow[1] or 0))
+                 .applyInPandas(make_relax(nodata), schema=TILE_SCHEMA))
+        # materialize + truncate per-round lineage (measured: the
+        # cached variant re-analyzed + partially recomputed the whole
+        # chain, 13x slower per round and growing); with ckpt the round
+        # also persists for resume
+        if ckpt is not None:
+            new_d = ckpt.run_stage(spark, f"d/round={_rnd_d}",
+                                   lambda: built)
+        else:
+            new_d = built.localCheckpoint()
+        sig = sig_of(new_d)
         d_tiles = new_d
         _dbg(f"[breach] D round sig={sig} {_time.time()-_t0:.1f}s")
         if sig == prev_sig:
+            if ckpt is not None:
+                ckpt.mark_converged("d", _rnd_d)
             break
         prev_sig = sig
 
@@ -1778,10 +1843,13 @@ def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
                           F.col("wp.data").alias("wpad"),
                           F.col("zp.data").alias("zpad"),
                           F.col("dd.data").alias("ddata")))
-    bl_tiles = (static_wzd.groupBy("ty", "tx")
+    bl_built = (static_wzd.groupBy("ty", "tx")
                 .cogroup(d_final_strips.groupBy("ty", "tx"))
-                .applyInPandas(make_backlinks, schema=TILE_SCHEMA)
-                ).localCheckpoint()
+                .applyInPandas(make_backlinks, schema=TILE_SCHEMA))
+    if ckpt is not None:
+        bl_tiles = ckpt.run_stage(spark, "backlinks", lambda: bl_built)
+    else:
+        bl_tiles = bl_built.localCheckpoint()
     _dbg(f"[breach] backlinks {_time.time()-_t0:.1f}s"); _t0 = _time.time()
 
     # pit seeds: strict interior local minima (all 8 neighbors valid
@@ -1865,19 +1933,42 @@ def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
 
     walk_schema = "row int, col int, v double, cont boolean"
     carve_parts = []
-    for _rnd in range(max_rounds * max(n_ty, n_tx)):
+    start_round = 0
+    if ckpt is not None:
+        # resume: each completed walk round persisted its full output
+        # (carves + continuations); reload carves, rebuild the live
+        # worklist from the last round's continuations
+        done = ckpt.converged_round("walk")
+        rounds = ckpt.completed_rounds("walk")
+        for k in rounds:
+            prev = ckpt.read_stage(spark, f"walk/round={k}")
+            carve_parts.append(prev.where(~F.col("cont"))
+                               .select("row", "col", "v"))
+            if k == rounds[-1] and done is None:
+                worklist = (prev.where(F.col("cont"))
+                            .groupBy("row", "col")
+                            .agg(F.min("v").alias("v")))
+        start_round = (max_rounds * max(n_ty, n_tx)) if done is not None \
+            else (rounds[-1] + 1 if rounds else 0)
+    for _rnd in range(start_round, max_rounds * max(n_ty, n_tx)):
         n_live = worklist.count()
         _dbg(f"[breach] walk round {_rnd} live={n_live} "
              f"{_time.time()-_t0:.1f}s"); _t0 = _time.time()
         if n_live == 0:
+            if ckpt is not None:
+                ckpt.mark_converged("walk", _rnd - 1)
             break
         keyed = worklist.withColumn(
             "ty", (F.col("row") / tile).cast("int")).withColumn(
             "tx", (F.col("col") / tile).cast("int"))
-        out = (walk_static.groupBy("ty", "tx")
-               .cogroup(keyed.groupBy("ty", "tx"))
-               .applyInPandas(walk_fn, schema=walk_schema)
-               ).localCheckpoint()
+        built = (walk_static.groupBy("ty", "tx")
+                 .cogroup(keyed.groupBy("ty", "tx"))
+                 .applyInPandas(walk_fn, schema=walk_schema))
+        if ckpt is not None:
+            out = ckpt.run_stage(spark, f"walk/round={_rnd}",
+                                 lambda: built)
+        else:
+            out = built.localCheckpoint()
         carve_parts.append(out.where(~F.col("cont"))
                            .select("row", "col", "v"))
         worklist = (out.where(F.col("cont"))

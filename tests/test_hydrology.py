@@ -270,3 +270,62 @@ def test_breach_tiled_matches_replay(spark):
                    "value")
     assert np.array_equal(got, want)
     assert _strict_pits(got) == 0
+
+
+def test_fill_tiled_checkpoint_resume(spark, tmp_path):
+    """Kill/resume contract: a run capped at 1 round leaves a round-0
+    checkpoint; the restarted run resumes from round 1 (round 0 is
+    never rebuilt) and converges to the exact no-checkpoint result."""
+    ck = str(tmp_path / "fill_ck")
+    tiles = long_to_tiles(synthetic_dem(spark, ROWS, COLS), META,
+                          tile=TILE)
+    want = _collect(H.fill_depressions_tiled(tiles, META, tile=TILE),
+                    "filled")
+    # simulated kill after one round
+    H.fill_depressions_tiled(tiles, META, tile=TILE, max_rounds=1,
+                             ckpt_dir=ck).count()
+    from go_spatial_spark.checkpoint import CheckpointManager
+    cm = CheckpointManager(ck)
+    assert cm.completed_rounds("fill_w") == [0]
+    # resume to convergence
+    got = _collect(H.fill_depressions_tiled(tiles, META, tile=TILE,
+                                            ckpt_dir=ck), "filled")
+    assert np.array_equal(got, want)
+    stages = [m["stage"] for m in cm.metrics()]
+    assert stages.count("fill_w/round=0") == 1  # round 0 not rebuilt
+    assert cm.converged_round("fill_w") is not None
+    # every persisted round carries per-partition lineage metrics
+    assert all("partition_rows" in m for m in cm.metrics())
+    # a third run short-circuits on the converged marker: no new stages
+    n_stages = len(cm.metrics())
+    got2 = _collect(H.fill_depressions_tiled(tiles, META, tile=TILE,
+                                             ckpt_dir=ck), "filled")
+    assert np.array_equal(got2, want)
+    assert len(cm.metrics()) == n_stages
+
+
+def test_breach_tiled_checkpoint_resume(spark, tmp_path):
+    """Same contract for the breach pipeline: partial W checkpoint ->
+    full resumed run equals the no-checkpoint (and replay) output."""
+    ck = str(tmp_path / "breach_ck")
+    dem_np = synthetic_dem_numpy(ROWS, COLS)
+    want = H.breach_minimax_np(dem_np)
+    tiles = long_to_tiles(synthetic_dem(spark, ROWS, COLS), META,
+                          tile=TILE)
+    # simulated kill inside the W fixpoint (only w/round=0 persisted)
+    from go_spatial_spark.checkpoint import CheckpointManager
+    dem_cached = tiles.cache()
+    dem_cached.count()
+    H._spill_w_tiles(dem_cached, META, TILE, max_rounds=1,
+                     ckpt=CheckpointManager(ck), ckpt_prefix="w").count()
+    cm = CheckpointManager(ck)
+    assert cm.completed_rounds("w") == [0]
+    got = _collect(H.breach_depressions_tiled(tiles, META, tile=TILE,
+                                              ckpt_dir=ck), "value")
+    assert np.array_equal(got, want)
+    assert stages_count(cm, "w/round=0") == 1
+    assert cm.converged_round("walk") is not None
+
+
+def stages_count(cm, name):
+    return [m["stage"] for m in cm.metrics()].count(name)
