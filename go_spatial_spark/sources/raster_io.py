@@ -411,10 +411,13 @@ def geotiff_tags(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_geotiff(spark: SparkSession, path: str):
-    """Minimal pure-NumPy GeoTIFF reader: gray single-band, strips or
-    tiles, compression none(1)/LZW(5)/deflate(8/32946), horizontal
-    predictor, uint/int/float 8-64 bit, GDAL_NODATA, ModelTiepoint +
-    ModelPixelScale georeferencing."""
+    """Pure-NumPy GeoTIFF reader: gray single-band (u/i/f 8-64 bit),
+    RGB/RGBA 8/16-bit and 8-bit paletted photometric modes (pixels
+    packed to float64((a<<24)|(r<<16)|(g<<8)|b), 16-bit channels
+    truncation-rescaled to 8 — geotiff.go:895-990, palette
+    construction geotiff.go:592-613), strips or tiles, compression
+    none(1)/LZW(5)/deflate(8/32946), horizontal predictor,
+    GDAL_NODATA, ModelTiepoint + ModelPixelScale georeferencing."""
     with open(path, "rb") as f:
         buf = f.read()
     bo, tags = _parse_tiff_ifd(buf)
@@ -422,6 +425,8 @@ def read_geotiff(spark: SparkSession, path: str):
     height = tags[257][0]
     bits = tags.get(258, [8])[0]
     comp = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
     sample_fmt = tags.get(339, [1])[0]
     predictor = tags.get(317, [1])[0]
     nodata = NODATA
@@ -433,6 +438,19 @@ def read_geotiff(spark: SparkSession, path: str):
     kind = {1: "u", 2: "i", 3: "f"}[sample_fmt]
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
+    palette = None
+    if photometric == 3:  # paletted: 16-bit colormap -> 8-bit ARGB
+        cmap = tags[320]
+        n_colors = len(cmap) // 3
+        r = (np.asarray(cmap[:n_colors], dtype=np.float64)
+             / 65535.0 * 255.0).astype(np.uint32)
+        g = (np.asarray(cmap[n_colors:2 * n_colors], dtype=np.float64)
+             / 65535.0 * 255.0).astype(np.uint32)
+        b = (np.asarray(cmap[2 * n_colors:3 * n_colors], dtype=np.float64)
+             / 65535.0 * 255.0).astype(np.uint32)
+        palette = ((np.uint32(255) << 24) | (r << 16) | (g << 8)
+                   | b).astype(np.float64)
+
     def decomp(seg: bytes) -> bytes:
         if comp == 1:
             return seg
@@ -442,16 +460,38 @@ def read_geotiff(spark: SparkSession, path: str):
             return zlib.decompress(seg)
         raise NotImplementedError(f"TIFF compression {comp}")
 
+    def decode_block(raw: bytes, hh: int, ww: int) -> np.ndarray:
+        """One strip/tile payload -> float64 (hh, ww) values."""
+        if photometric == 3:
+            idx = np.frombuffer(raw, dtype=np.uint8,
+                                count=hh * ww).reshape(hh, ww)
+            return palette[idx]
+        if photometric == 2:  # RGB / RGBA, chunky planar config
+            ch_dt = np.uint8 if bits == 8 else np.dtype(f"{bo}u2")
+            px = np.frombuffer(raw, dtype=ch_dt,
+                               count=hh * ww * spp).reshape(hh, ww, spp)
+            if predictor == 2:  # per-channel horizontal differencing
+                px = px.cumsum(axis=1, dtype=px.dtype)
+            if bits == 16:
+                px = (px.astype(np.float64) / 65535.0 * 255.0)
+            px = px.astype(np.uint32)
+            r, g, b = px[..., 0], px[..., 1], px[..., 2]
+            a = px[..., 3] if spp == 4 else np.uint32(255)
+            return ((a << np.uint32(24)) | (r << np.uint32(16))
+                    | (g << np.uint32(8)) | b).astype(np.float64)
+        data = np.frombuffer(raw, dtype=dtype,
+                             count=hh * ww).reshape(hh, ww)
+        if predictor == 2:
+            data = data.cumsum(axis=1, dtype=data.dtype)
+        return data
+
     arr = np.zeros((height, width), dtype=np.float64)
     if 322 in tags:  # tiled
         tw, th = tags[322][0], tags[323][0]
         offs, cnts = tags[324], tags[325]
         per_row = (width + tw - 1) // tw
         for idx, (o, c) in enumerate(zip(offs, cnts)):
-            data = np.frombuffer(decomp(buf[o:o + c]), dtype=dtype,
-                                 count=tw * th).reshape(th, tw)
-            if predictor == 2:
-                data = data.cumsum(axis=1, dtype=data.dtype)
+            data = decode_block(decomp(buf[o:o + c]), th, tw)
             ty, tx = idx // per_row, idx % per_row
             y0, x0 = ty * th, tx * tw
             hh = min(th, height - y0)
@@ -463,11 +503,7 @@ def read_geotiff(spark: SparkSession, path: str):
         y = 0
         for o, c in zip(offs, cnts):
             hh = min(rps, height - y)
-            data = np.frombuffer(decomp(buf[o:o + c]), dtype=dtype,
-                                 count=hh * width).reshape(hh, width)
-            if predictor == 2:
-                data = data.cumsum(axis=1, dtype=data.dtype)
-            arr[y:y + hh] = data
+            arr[y:y + hh] = decode_block(decomp(buf[o:o + c]), hh, width)
             y += hh
     # georeferencing: ModelTiepoint (33922) + ModelPixelScale (33550)
     west = north = 0.0

@@ -208,3 +208,110 @@ def test_bucketed_tile_store_roundtrip_and_exchange_free(spark, tmp_path):
         assert out.count() == tiles.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_store_test")
+
+
+def _mk_tiff(entries, payload, extra=b""):
+    """Minimal little-endian classic TIFF: one IFD + one strip payload.
+    entries = [(tag, type, [values])]; oversize values go in `extra`
+    which the caller pre-offsets."""
+    import struct as S
+    n = len(entries)
+    ifd_off = 8
+    hdr = b"II" + S.pack("<HI", 42, ifd_off)
+    body = S.pack("<H", n)
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    data_off = ifd_off + 2 + 12 * n + 4
+    deferred = b""
+    for tag, typ, vals in entries:
+        sz = sizes[typ] * len(vals)
+        raw = S.pack("<" + fmts[typ] * len(vals), *vals)
+        if sz <= 4:
+            body += S.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+        else:
+            body += S.pack("<HHI", tag, typ, len(vals)) + S.pack(
+                "<I", data_off + len(deferred))
+            deferred += raw
+    body += S.pack("<I", 0)  # next IFD
+    return hdr + body + deferred + payload
+
+
+def test_read_geotiff_rgb_and_paletted(spark, tmp_path):
+    """RGB(A)/paletted photometric modes pack each pixel to
+    float64((a<<24)|(r<<16)|(g<<8)|b) exactly as the reference
+    (geotiff.go:895-990; palette geotiff.go:592-613)."""
+    import struct as S
+    import numpy as np
+    from go_spatial_spark.sources.raster_io import read_geotiff
+
+    w, h = 3, 2
+    # --- 8-bit RGB ---
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3) * 7
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]),
+               (259, 3, [1]), (262, 3, [2]), (277, 3, [3]),
+               (278, 4, [h]), (279, 4, [w * h * 3])]
+    # strip offset = end of (header + ifd + deferred); compute after a
+    # dry build with offset 0, then patch
+    blob0 = _mk_tiff(entries + [(273, 4, [0])], b"")
+    strip_off = len(blob0)
+    blob = _mk_tiff(entries + [(273, 4, [strip_off])], px.tobytes())
+    p = tmp_path / "rgb.tif"
+    p.write_bytes(blob)
+    meta, df = read_geotiff(spark, str(p))
+    got = {(r.row, r.col): r.value for r in df.collect()}
+    for y in range(h):
+        for x in range(w):
+            r_, g_, b_ = (int(px[y, x, 0]), int(px[y, x, 1]),
+                          int(px[y, x, 2]))
+            want = float((255 << 24) | (r_ << 16) | (g_ << 8) | b_)
+            assert got[(y, x)] == want
+
+    # --- 16-bit RGBA (ExtraSamples ignored by the packer; alpha read) --
+    px16 = (np.arange(w * h * 4, dtype=np.uint16).reshape(h, w, 4)
+            * 4111)
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [16] * 4),
+               (259, 3, [1]), (262, 3, [2]), (277, 3, [4]),
+               (278, 4, [h]), (279, 4, [w * h * 8])]
+    blob0 = _mk_tiff(entries + [(273, 4, [0])], b"")
+    blob = _mk_tiff(entries + [(273, 4, [len(blob0)])],
+                    px16.astype("<u2").tobytes())
+    p = tmp_path / "rgba16.tif"
+    p.write_bytes(blob)
+    meta, df = read_geotiff(spark, str(p))
+    got = {(r.row, r.col): r.value for r in df.collect()}
+    for y in range(h):
+        for x in range(w):
+            r_, g_, b_, a_ = (int(px16[y, x, k] / 65535.0 * 255.0)
+                              for k in range(4))
+            want = float((a_ << 24) | (r_ << 16) | (g_ << 8) | b_)
+            assert got[(y, x)] == want
+
+    # --- 8-bit paletted ---
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    cmap_r = [0] * 256
+    cmap_g = [0] * 256
+    cmap_b = [0] * 256
+    for i, (r_, g_, b_) in enumerate([(65535, 0, 32768),
+                                      (256, 512, 1024),
+                                      (40000, 50000, 60000),
+                                      (1, 2, 3)]):
+        cmap_r[i], cmap_g[i], cmap_b[i] = r_, g_, b_
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8]),
+               (259, 3, [1]), (262, 3, [3]), (277, 3, [1]),
+               (278, 4, [h]), (279, 4, [w * h]),
+               (320, 3, cmap_r + cmap_g + cmap_b)]
+    blob0 = _mk_tiff(entries + [(273, 4, [0])], b"")
+    blob = _mk_tiff(entries + [(273, 4, [len(blob0)])], idx.tobytes())
+    p = tmp_path / "pal.tif"
+    p.write_bytes(blob)
+    meta, df = read_geotiff(spark, str(p))
+    got = {(r.row, r.col): r.value for r in df.collect()}
+    pal = []
+    for i in range(256):
+        pr = int(cmap_r[i] / 65535.0 * 255.0)
+        pg = int(cmap_g[i] / 65535.0 * 255.0)
+        pb = int(cmap_b[i] / 65535.0 * 255.0)
+        pal.append(float((255 << 24) | (pr << 16) | (pg << 8) | pb))
+    for y in range(h):
+        for x in range(w):
+            assert got[(y, x)] == pal[idx[y, x]]
