@@ -331,10 +331,19 @@ def oracle_sql() -> dict[str, str]:
     o["max_elev_deviation"] = WS.max_elev_deviation_oracle_sql(
         lambda r: oracles.dev_from_mean_sql(GRID_ROWS, GRID_COLS, r),
         scales=[4, 8, 12])
-    # d8_flow_accum / fill_depressions: inherently iterative (topological
-    # sweep / priority flood) — not single-statement-SQL-expressible;
-    # driver records rows-only; exact golden parity lives in
-    # tests/test_hydrology.py against straight-line NumPy replays.
+    # Iterative hydrology ops expressed as genuinely-computed recursive
+    # CTEs: D8 accumulation is an acyclic pointer-chain walk;
+    # tiled fill is the minimax fixpoint (label-correcting relaxation
+    # with a straight-line running-max bound pruning the frontier).
+    o["d8_flow_accum"] = oracles.d8_flow_accum_sql(GRID_ROWS, GRID_COLS)
+    o["fill_depressions_tiled"] = oracles.fill_minimax_sql(
+        GRID_ROWS, GRID_COLS)
+    # fill_depressions (reference heap replay — output is heap-order-
+    # dependent by the Go tool's stale-zN seed quirk), breach_* (walker
+    # carving), fd8 (float sum order): not single-statement-SQL-
+    # expressible; driver records rows-only; exact golden parity lives
+    # in tests/test_hydrology.py against straight-line NumPy replays.
+    o["geotiff_tags"] = oracles.geotiff_tags_golden_sql()
 
     o["exact_dedup"] = dedup.exact_dedup_oracle_sql()
     o["minhash_signatures"] = dedup.minhash_signatures_oracle_sql()

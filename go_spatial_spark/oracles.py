@@ -220,3 +220,109 @@ def hillshade_trim_sql(rows: int, cols: int) -> str:
              AS new_max
     FROM g
     """
+
+
+def d8_flow_accum_sql(rows: int, cols: int) -> str:
+    """d8FlowAccumulation.go:242-333 semantics (fa starts at 1, each
+    cell pushes its accumulated value to its single D8 receiver) as a
+    genuinely-computed recursive-CTE oracle: every valid cell starts a
+    walk at itself; each step follows the pointer; accum(c) = number of
+    (source, step) visits = 1 + upstream-cell count. Chains are acyclic
+    because the pointer requires strictly positive descent, so the
+    UNION-distinct recursion terminates."""
+    ptr = d8_pointer_sql(rows, cols)
+    vals = ", ".join(f"({n + 1}, {dy}, {dx})" for n, dy, dx in _OFFSETS)
+    return f"""
+    WITH RECURSIVE ptr AS MATERIALIZED ({ptr}),
+    off(d, dy, dx) AS (SELECT * FROM (VALUES {vals}) t(d, dy, dx)),
+    walk(sr, sc, r, c) AS (
+      SELECT row, col, row, col FROM ptr
+      UNION
+      SELECT w.sr, w.sc, w.r + o.dy, w.c + o.dx
+      FROM walk w
+      JOIN ptr p ON p.row = w.r AND p.col = w.c AND p.dir > 0
+      JOIN off o ON o.d = CAST(p.dir AS INT)
+    )
+    SELECT r AS row, c AS col, CAST(count(*) AS DOUBLE) AS accum
+    FROM walk GROUP BY r, c
+    """
+
+
+def fill_minimax_sql(rows: int, cols: int) -> str:
+    """Priority-Flood minimax spill (Barnes et al. 2014, epsilon=0 —
+    the specified semantics of hydrology.fill_depressions_tiled) as a
+    label-correcting recursive CTE: seeds are cells with an incomplete
+    8-neighborhood (grid edge or nodata-adjacent) at W=z; each step
+    relaxes W(n) = max(z(n), W(c)); the answer is min(W) per cell.
+    A straight-line running-max upper bound prunes the frontier so the
+    UNION-distinct recursion stays near-linear."""
+    demsql = synthetic_dem_sql(rows, cols)
+    vals = ", ".join(f"({dy}, {dx})" for _, dy, dx in _OFFSETS)
+    return f"""
+    WITH RECURSIVE dem AS MATERIALIZED ({demsql}),
+    off(dy, dx) AS (SELECT * FROM (VALUES {vals}) t(dy, dx)),
+    seeds AS MATERIALIZED (
+      SELECT d.row, d.col, d.value
+      FROM dem d JOIN off o ON true
+      LEFT JOIN dem x ON x.row = d.row + o.dy AND x.col = d.col + o.dx
+      GROUP BY d.row, d.col, d.value
+      HAVING count(x.row) < 8),
+    ub AS MATERIALIZED (
+      SELECT row, col,
+        least(
+          max(value) OVER (PARTITION BY row ORDER BY col
+                           ROWS UNBOUNDED PRECEDING),
+          max(value) OVER (PARTITION BY row ORDER BY col DESC
+                           ROWS UNBOUNDED PRECEDING),
+          max(value) OVER (PARTITION BY col ORDER BY row
+                           ROWS UNBOUNDED PRECEDING),
+          max(value) OVER (PARTITION BY col ORDER BY row DESC
+                           ROWS UNBOUNDED PRECEDING)
+        ) AS ub
+      FROM dem),
+    walk(r, c, w) AS (
+      SELECT row, col, value FROM seeds
+      UNION
+      SELECT d.row, d.col, greatest(d.value, wk.w) AS w
+      FROM walk wk
+      JOIN off o ON true
+      JOIN dem d ON d.row = wk.r + o.dy AND d.col = wk.c + o.dx
+      JOIN ub u ON u.row = d.row AND u.col = d.col
+      WHERE greatest(d.value, wk.w) <= u.ub
+    )
+    SELECT r AS row, c AS col, min(w) AS filled FROM walk GROUP BY r, c
+    """
+
+
+# PrintGeoTiffTags golden for the reference DEM.tif fixture (the tag
+# table of a fixed file is a constant; recorded once, like the
+# reference's own golden tests — printGeoTiffTags.go:95-114).
+_DEM_TIF_TAGS = [
+    (256, "[237]"), (257, "[188]"), (258, "[32]"), (259, "[1]"),
+    (262, "[1]"),
+    (273, "[8, 956, 1904, 2852, 3800, 4748, 5696, 6644, 7592, 8540, "
+          "9488, 10436, 11384, 12332, 13280, 14228, 15176, 16124, "
+          "17072, 18020, 18968, 19916, 20864, 21812, 22760, 23708, "
+          "24656, 25604, 26552, 27500, 2844"),
+    (277, "[1]"), (278, "[1]"),
+    (279, "[948, 948, 948, 948, 948, 948, 948, 948, 948, 948, 948, "
+          "948, 948, 948, 948, 948, 948, 948, 948, 948, 948, 948, "
+          "948, 948, 948, 948, 948, 948, 948, 948, 948, 948, 948, "
+          "948, 948, 948, 948, 948, 948, 948,"),
+    (282, "[72.0]"), (283, "[72.0]"), (296, "[2]"),
+    (305, "b'GoSpatial'"), (339, "[3]"),
+    (33550, "[89.98349566172115, 90.02153730932424, 0.0]"),
+    (33922, "[0.0, 0.0, 0.0, 664737.0507251581, 4895782.5891085025, "
+            "0.0]"),
+    (34735, "[1, 1, 0, 2, 1025, 0, 1, 2, 1026, 0, 1, 0]"),
+    (34737, "b'Unknown|'"), (42113, "b'-32768'"),
+]
+
+
+def geotiff_tags_golden_sql() -> str:
+    """Golden tag table for DEM.tif as a VALUES literal."""
+    rows = ", ".join(
+        "({}, '{}')".format(t, v.replace("'", "''"))
+        for t, v in _DEM_TIF_TAGS)
+    return (f"SELECT CAST(t AS INT) AS tag, v AS value "
+            f"FROM (VALUES {rows}) x(t, v)")
