@@ -582,6 +582,8 @@ def read_raster(spark: SparkSession, path: str):
         return read_idrisi(spark, os.path.splitext(path)[0] + ".rdc")
     if ext in (".hdr", ".flt"):
         return read_arcgis_binary(spark, os.path.splitext(path)[0] + ".hdr")
+    if ext == ".grd":
+        return read_grass_ascii(spark, path)
     if ext in (".asc", ".txt"):
         with open(path) as f:
             first = f.readline().split()
@@ -589,6 +591,36 @@ def read_raster(spark: SparkSession, path: str):
                                           "rows", "cols", "north:"):
             return read_grass_ascii(spark, path)
         return read_arcgis_ascii(spark, path)
+    raise ValueError(f"unknown raster format: {path}")
+
+
+def write_raster(df: DataFrame, meta: RasterMeta, path: str,
+                 value_col: str | None = None) -> None:
+    """Extension-dispatch writer (the write half of the rastertype.go
+    registry). ``value_col`` names the data column; defaults to the
+    single non-(row,col) column of ``df``."""
+    if value_col is None:
+        extras = [c for c in df.columns if c not in ("row", "col")]
+        if len(extras) != 1:
+            raise ValueError(f"ambiguous value column among {df.columns}; "
+                             f"pass value_col=")
+        value_col = extras[0]
+    if value_col != "value":
+        df = df.withColumnRenamed(value_col, "value")
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".dep", ".tas"):
+        return write_whitebox(df, meta, os.path.splitext(path)[0] + ".dep")
+    if ext in (".tif", ".tiff"):
+        return write_geotiff(df, meta, path)
+    if ext in (".rdc", ".rst"):
+        return write_idrisi(df, meta, os.path.splitext(path)[0] + ".rdc")
+    if ext in (".hdr", ".flt"):
+        return write_arcgis_binary(df, meta,
+                                   os.path.splitext(path)[0] + ".hdr")
+    if ext == ".grd":
+        return write_grass_ascii(df, meta, path)
+    if ext in (".asc", ".txt"):
+        return write_arcgis_ascii(df, meta, path)
     raise ValueError(f"unknown raster format: {path}")
 
 
