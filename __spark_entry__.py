@@ -226,6 +226,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: textstats.lang_id(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: textstats.fingerprint(_docs(spark, sf))
 
+    # --- web-corpus curation (host accounting / sampling / filtering) ---
+    from go_spatial_spark.operators import webcurate
+    q["host_stats"] = lambda spark, sf: webcurate.host_stats(_docs(spark, sf))
+    q["quota_sample"] = lambda spark, sf: webcurate.quota_sample(
+        _docs(spark, sf))
+    q["host_quality_filter"] = lambda spark, sf: \
+        webcurate.host_quality_filter(_docs(spark, sf))
+
     def emb(spark, sf):
         return spark.read.parquet(f"{sf}/embeddings.parquet")
     q["cosine_topk"] = lambda spark, sf: similarity.cosine_topk(emb(spark, sf))
@@ -354,6 +362,10 @@ def oracle_sql() -> dict[str, str]:
     o["quality_score"] = textstats.quality_score_oracle_sql()
     o["lang_id"] = textstats.lang_id_oracle_sql()
     o["fingerprint"] = textstats.fingerprint_oracle_sql()
+    from go_spatial_spark.operators import webcurate
+    o["host_stats"] = webcurate.host_stats_oracle_sql()
+    o["quota_sample"] = webcurate.quota_sample_oracle_sql()
+    o["host_quality_filter"] = webcurate.host_quality_filter_oracle_sql()
     o["cosine_topk"] = similarity.cosine_topk_oracle_sql()
     o["cosine_near_dup"] = similarity.cosine_near_dup_oracle_sql()
     o["ivf_topk"] = similarity.ivf_topk_oracle_sql()
