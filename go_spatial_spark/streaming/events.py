@@ -133,3 +133,20 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
         q.stop()
         q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once ingest dedup: drops replayed copies of the same
+    event_id. Streaming: dropDuplicatesWithinWatermark bounds the
+    dedup state to the watermark horizon (at 10^12-event scale the
+    state store only holds ids newer than the horizon — unbounded
+    dropDuplicates would OOM the state store). Batch: plain
+    dropDuplicates on the key, same observable result when duplicate
+    rows are exact copies within the horizon."""
+    ev = events.withColumn("ts2", F.col("ts").cast("timestamp"))
+    if ev.isStreaming:
+        ev = (ev.withWatermark("ts2", watermark)
+              .dropDuplicatesWithinWatermark(["event_id"]))
+    else:
+        ev = ev.dropDuplicates(["event_id"])
+    return ev.drop("ts2")

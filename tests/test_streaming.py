@@ -43,3 +43,25 @@ def test_sessionize_stream(spark, events_dir):
     # sessions; invariant checks:
     assert (got["session_end_s"] >= got["session_start_s"]).all()
     assert (got["n_events"] >= 1).all()
+
+
+def test_dedup_events_stream_matches_batch(spark, events_dir, sf001,
+                                           tmp_path):
+    """Replayed (exactly duplicated) events are dropped by the
+    watermark-bounded streaming dedup; result set equals batch dedup
+    of the same input."""
+    dup_dir = str(tmp_path / "events_dup")
+    base = spark.read.parquet(f"{sf001}/events.parquet")
+    base.unionAll(base.limit(200)).repartition(8) \
+        .write.mode("overwrite").parquet(dup_dir)
+
+    # files arrive in arbitrary order while the data spans a month, so
+    # the dedup horizon must cover the span (with a 2h watermark the
+    # engine would rightly drop month-late arrivals as late data)
+    stream = SE.read_events_stream(spark, dup_dir, max_files=2)
+    got = SE.run_stream_to_memory(
+        SE.dedup_events(stream, watermark="40 days"), "dedup_test",
+        output_mode="append").toPandas()
+    want = SE.dedup_events(spark.read.parquet(dup_dir)).toPandas()
+    assert len(got) == len(want) == base.count()
+    assert sorted(got["event_id"]) == sorted(want["event_id"])
