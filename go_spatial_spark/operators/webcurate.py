@@ -96,11 +96,19 @@ def host_quality_filter(docs: DataFrame,
     stopword-token ratio is >= min_stop_ratio. The per-host aggregate
     is tiny -> broadcast semi-join against the doc table (doc side
     stays shuffle-free)."""
-    from go_spatial_spark.operators.textstats import token_stats
+    from go_spatial_spark.operators.textstats import STOPWORDS, _toks
+    # one row-wise projection computes host + token stats together —
+    # joining token_stats(docs) back to wrap_html(docs) on doc_id
+    # would be a doc-x-doc shuffle join of two derivations of the same
+    # scan; this way the doc table is only ever map-side
+    toks = _toks(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     pages = wrap_html(docs).select(
-        "doc_id", F.regexp_extract("url", _HOST_RE, 1).alias("host"))
-    t = token_stats(docs).join(pages, "doc_id")
-    hosts = (t.groupBy("host")
+        "doc_id", F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+               ).alias("n_stop"))
+    hosts = (pages.groupBy("host")
              .agg((F.sum("n_stop").cast("double")
                    / F.sum("n_tokens").cast("double"))
                   .alias("host_stop_ratio"))
