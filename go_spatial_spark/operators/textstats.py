@@ -63,7 +63,17 @@ def token_stats_oracle_sql(docs_tbl: str = "documents") -> str:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Aggregate quality stats per (lang, source): doc counts, token
     sums, stopword ratio. Integer sums -> exact cross-engine."""
-    t = token_stats(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # single row-wise projection (token stats + source together): a
+    # token_stats(docs) ⋈ docs join would shuffle two derivations of
+    # the same scan on doc_id — pure waste at corpus scale
+    toks = _toks(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = docs.select(
+        "lang", "source",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+               ).alias("n_stop"))
     return (t.groupBy("lang", "source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("sum_tokens"),
