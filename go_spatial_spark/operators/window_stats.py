@@ -184,6 +184,34 @@ def elevation_percentile_maps(dem: np.ndarray, nodata: float,
     idx = np.floor((dem[valid] - mn) / bin_size).astype(np.int64)
     idx[idx >= HIGH_RES_BINS] = HIGH_RES_BINS - 1
     histo = np.bincount(idx, minlength=HIGH_RES_BINS).astype(np.int64)
+    return _maps_from_histo(float(mn), bin_size, histo, num_bins)
+
+
+def elevation_percentile_maps_distributed(grid: DataFrame, nodata: float,
+                                          num_bins: int):
+    """Same maps from a long-form grid DataFrame without ever pulling
+    cells to the driver: min/max and the 10k-bin histogram are Spark
+    aggregations (one partial-agg shuffle of <= 10k rows); only the
+    bounded histogram is collected, so the prep scales to any grid.
+    Bit-identical to the NumPy path (same f64 expressions)."""
+    v = grid.where(F.col("value") != nodata)
+    mn, mx = v.agg(F.min("value"), F.max("value")).first()
+    value_range = math.ceil(mx - mn)
+    bin_size = value_range / float(HIGH_RES_BINS)
+    idx = F.floor((F.col("value") - F.lit(mn)) / F.lit(bin_size)) \
+        .cast("long")
+    idx = F.least(idx, F.lit(HIGH_RES_BINS - 1))
+    hist_rows = (v.select(idx.alias("bin")).groupBy("bin").count()
+                 .collect())
+    histo = np.zeros(HIGH_RES_BINS, dtype=np.int64)
+    for r in hist_rows:
+        histo[int(r["bin"])] = int(r["count"])
+    return _maps_from_histo(float(mn), bin_size, histo, num_bins)
+
+
+def _maps_from_histo(mn: float, bin_size: float, histo: np.ndarray,
+                     num_bins: int):
+    """The sequential 10k-bin scan shared by both prep paths."""
     n_valid = int(histo.sum())
     qp = n_valid // num_bins  # uint32 integer division in the reference
     bin_num = np.zeros(HIGH_RES_BINS, dtype=np.int64)

@@ -188,14 +188,11 @@ def _register_builtins() -> None:
                   _dev_trad))
 
     def _elev_pct(spark, grid, meta, r: int = 5, num_bins: int = 10, **kw):
-        import numpy as np
-        from go_spatial_spark.grid import NODATA
         from go_spatial_spark.operators import window_stats as WS
-        pdf = grid.toPandas()
-        dem_np = np.full((meta.rows, meta.cols), NODATA)
-        dem_np[pdf["row"], pdf["col"]] = pdf["value"]
-        mn, bs, bn, vp = WS.elevation_percentile_maps(dem_np, NODATA,
-                                                      num_bins)
+        # global prep never pulls cells to the driver: only the
+        # bounded 10k-bin histogram is collected
+        mn, bs, bn, vp = WS.elevation_percentile_maps_distributed(
+            grid, meta.nodata, num_bins)
         tile = int(kw.get("tile", 256))
         out = run_stencil(long_to_tiles(grid, meta, tile=tile), meta,
                           WS.elevation_percentile_kernel, halo=r, tile=tile,
