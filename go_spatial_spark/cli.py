@@ -37,8 +37,8 @@ _RASTER_FORMATS = [
 # convert the reference's arg convention (e.g. full filter sizes) to
 # the engine's kwargs (radii).
 _EXTRA_ARGS = {
-    "meanfilter": lambda a: {"rx": (_int(a, 0, 3) - 1) // 2 or 1,
-                             "ry": (_int(a, 1, 3) - 1) // 2 or 1},
+    "meanfilter": lambda a: {"rx": max((_int(a, 0, 3) - 1) // 2, 0),
+                             "ry": max((_int(a, 1, 3) - 1) // 2, 0)},
     "deviationfrommean": lambda a: {"r": _int(a, 0, 8)},
     "deviationfrommeantraditional": lambda a: {"r": _int(a, 0, 8)},
     "differencefrommean": lambda a: {"r": _int(a, 0, 8)},
