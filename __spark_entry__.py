@@ -389,9 +389,9 @@ def oracle_sql() -> dict[str, str]:
                     AS new_s
           FROM gaps),
         sids AS (
-          SELECT *, SUM(new_s) OVER (
+          SELECT *, CAST(SUM(new_s) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS sid
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
           FROM marked)
         SELECT user_id, sid, count(*) AS n_events,
                min(secs) AS start_s, max(secs) AS end_s

@@ -165,9 +165,9 @@ def simhash_oracle_sql(docs_tbl: str = "documents", bits: int = 60) -> str:
     votes AS (
       SELECT doc_id, b, SUM(bit * 2 - 1) AS v FROM bitsq GROUP BY doc_id, b)
     SELECT doc_id,
-           SUM(CASE WHEN v > 0
+           CAST(SUM(CASE WHEN v > 0
                     THEN (CAST(1 AS BIGINT) << CAST({bits} - 1 - b AS INT))
-                    ELSE 0 END) AS simhash
+                    ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """
 

@@ -94,8 +94,9 @@ def quality_score_oracle_sql(docs_tbl: str = "documents") -> str:
                              t -> t IN ({stop}))) AS n_stop
       FROM {docs_tbl})
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_tokens) AS sum_tokens, sum(len_chars) AS sum_chars,
-           sum(n_stop) AS sum_stop,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(len_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_stop) AS BIGINT) AS sum_stop,
            CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
              AS stop_ratio
     FROM t GROUP BY lang, source

@@ -45,7 +45,7 @@ def host_stats_oracle_sql(docs_tbl: str = "documents") -> str:
     return f"""
     SELECT regexp_extract({_URL_SQL}, '{_HOST_RE}', 1) AS host,
            count(*) AS n_docs,
-           sum(length(text)) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
            count(DISTINCT lang) AS n_langs
     FROM {docs_tbl} GROUP BY 1
     """
