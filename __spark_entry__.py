@@ -171,26 +171,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d8_flow_accum"] = lambda spark, sf: hydrology.d8_flow_accum(
         _dem_tiles48(spark), META, tile=48)
-    q["fill_depressions"] = lambda spark, sf: hydrology.fill_depressions(
-        synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
     q["fill_depressions_tiled"] = lambda spark, sf: \
         hydrology.fill_depressions_tiled(_dem_tiles48(spark), META, tile=48)
-    # distributed minimax-path breach (order-free specified semantics;
-    # iterative fixpoints -> no oracle_sql entry, rows-only check; the
-    # bit-exact oracle is the single-node replay in
-    # test_breach_tiled_matches_replay)
+    # distributed minimax-path breach: full-value recursive-CTE oracle
+    # (oracles.breach_minimax_sql — W fixpoint + plateau distance +
+    # backlink forest + carve walk); values are copies of input
+    # elevations, so the comparison is bit-exact
     q["breach_tiled"] = lambda spark, sf: hydrology.breach_depressions_tiled(
         _dem_tiles48(spark), META, tile=48)
-    q["fd8_flow_accum"] = lambda spark, sf: hydrology.fd8_flow_accum(
+
+    # Heap-replay ops (fill/breach family) + FD8: driver rows are
+    # one-row invariant summaries computed from the full per-cell
+    # outputs (per-cell SQL oracles would be tautological heap replays
+    # / are float-order-impossible — see oracles.py invariant section);
+    # per-cell golden parity lives in tests/test_hydrology.py.
+    q["fill_depressions"] = lambda spark, sf: hydrology.fill_invariants(
+        synthetic_dem(spark, GRID_ROWS, GRID_COLS), META,
+        _dem_tiles48(spark), tile=48)
+    q["fd8_flow_accum"] = lambda spark, sf: hydrology.fd8_invariants(
         _dem_tiles48(spark), META, tile=48)
-    q["breach_depressions"] = lambda spark, sf: hydrology.breach_depressions(
-        synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
+    q["breach_depressions"] = lambda spark, sf: \
+        hydrology.breach_complete_invariants(
+            synthetic_dem(spark, GRID_ROWS, GRID_COLS), META)
     # constrained mode (breachDepressions.go:613-778): tight depth/length
     # constraints + outlet lowering + post-breach floodorder fill replay
-    q["breach_constrained"] = lambda spark, sf: hydrology.breach_depressions(
-        synthetic_dem(spark, GRID_ROWS, GRID_COLS), META,
-        max_depth=2.0, max_length=10, constrained=True,
-        post_breach_fill=True)
+    q["breach_constrained"] = lambda spark, sf: \
+        hydrology.breach_constrained_invariants(
+            synthetic_dem(spark, GRID_ROWS, GRID_COLS), META,
+            max_depth=2.0, max_length=10)
 
     def breach_streams_q(spark: SparkSession, sf: str) -> DataFrame:
         dem = synthetic_dem(spark, GRID_ROWS, GRID_COLS)
@@ -201,7 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           | (F.col("col") == GRID_COLS // 2)
                           | (F.col("row") == F.col("col"))) \
             .withColumn("value", F.lit(1.0))
-        return hydrology.breach_streams(dem, streams, META)
+        return hydrology.breach_streams_invariants(dem, streams, META)
     q["breach_streams"] = breach_streams_q
 
     # --- metadata tools (PrintGeoTiffTags / PrintLASInfo) ------------------
@@ -346,11 +354,19 @@ def oracle_sql() -> dict[str, str]:
     o["d8_flow_accum"] = oracles.d8_flow_accum_sql(GRID_ROWS, GRID_COLS)
     o["fill_depressions_tiled"] = oracles.fill_minimax_sql(
         GRID_ROWS, GRID_COLS)
-    # fill_depressions (reference heap replay — output is heap-order-
-    # dependent by the Go tool's stale-zN seed quirk), breach_* (walker
-    # carving), fd8 (float sum order): not single-statement-SQL-
-    # expressible; driver records rows-only; exact golden parity lives
-    # in tests/test_hydrology.py against straight-line NumPy replays.
+    o["breach_tiled"] = oracles.breach_minimax_sql(GRID_ROWS, GRID_COLS)
+    # Heap replays + FD8: invariant oracles (genuine counts / minimax
+    # CTE / headwater sets / arithmetic bounds + spec zeros + golden
+    # replay scalars); per-cell golden parity in tests/test_hydrology.py.
+    o["fill_depressions"] = oracles.fill_invariants_sql(
+        GRID_ROWS, GRID_COLS)
+    o["fd8_flow_accum"] = oracles.fd8_invariants_sql(GRID_ROWS, GRID_COLS)
+    o["breach_depressions"] = oracles.breach_complete_invariants_sql(
+        GRID_ROWS, GRID_COLS, n_changed=1696, n_lowered=1288, n_raised=408)
+    o["breach_constrained"] = oracles.breach_constrained_invariants_sql(
+        GRID_ROWS, GRID_COLS, max_depth=2.0, max_length=10, n_changed=3431)
+    o["breach_streams"] = oracles.breach_streams_invariants_sql(
+        GRID_ROWS, GRID_COLS, n_changed=1709, n_lowered=1269, n_raised=440)
     o["geotiff_tags"] = oracles.geotiff_tags_golden_sql()
 
     o["exact_dedup"] = dedup.exact_dedup_oracle_sql()

@@ -1986,3 +1986,155 @@ def breach_depressions_tiled(dem_tiles: DataFrame, meta: RasterMeta,
             .select("row", "col",
                     F.least(F.col("value"), F.coalesce(
                         F.col("v"), F.col("value"))).alias("value")))
+
+
+# ---------------------------------------------------------------------------
+# Invariant summaries (driver-correctness gate for the replay family)
+# ---------------------------------------------------------------------------
+# The heap replays are bit-faithful to reference pop order, so a
+# per-cell SQL oracle would have to replay the heap (tautological) —
+# see oracles.py's invariant-oracle section. These helpers compute the
+# checkable invariants as pure DataFrame plans over the per-cell
+# outputs (no collect; equi-joins on shifted keys), so a broken
+# operator turns the driver row red.
+
+
+def _offsets_df(spark):
+    return spark.createDataFrame(
+        [(DY[n], DX[n]) for n in range(8)], "dy int, dx int")
+
+
+def interior_pit_count(df: DataFrame, value_col: str,
+                       alias: str = "n_interior_pits") -> DataFrame:
+    """1-row count of interior pits (all 8 neighbors present and none
+    strictly lower — the flat-inclusive breach seeding definition,
+    breachDepressions.go:283-305) of a long-form raster. The 8-way
+    neighbor lookup is an equi-join on shifted (row, col) keys."""
+    spark = df.sparkSession
+    off = F.broadcast(_offsets_df(spark))
+    c = df.select(F.col("row").alias("r"), F.col("col").alias("c"),
+                  F.col(value_col).alias("z"))
+    n = df.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
+                  F.col(value_col).alias("nz"))
+    pits = (c.crossJoin(off)
+            .join(n, (F.col("nr") == F.col("r") + F.col("dy"))
+                  & (F.col("nc") == F.col("c") + F.col("dx")), "left")
+            .groupBy("r", "c", "z")
+            .agg(F.count("nz").alias("ndeg"), F.min("nz").alias("mnz"))
+            .where((F.col("ndeg") == 8) & (F.col("mnz") >= F.col("z"))))
+    return pits.agg(F.count("*").alias(alias))
+
+
+def fill_invariants(dem: DataFrame, meta: RasterMeta,
+                    dem_tiles48, tile: int = 48) -> DataFrame:
+    """Invariant summary of the exact FillDepressions replay, 1 row:
+
+    * n_cells — valid-cell count (oracle: genuine count);
+    * n_depression_cells — cells strictly below the minimax spill W,
+      with W from the independent distributed fixpoint
+      (fill_depressions_tiled); the oracle recomputes W via its own
+      recursive CTE — a genuine cross-engine check;
+    * n_lowered = 0 — an epsilon-fill never lowers a cell (out is
+      z at seeds, max(z_n, out_c [+eps]) elsewhere);
+    * n_below_spill = 0 — every first-touch path value is >= the
+      minimax over paths, and epsilon only adds;
+    * n_interior_pits = 0 — each touched cell is strictly above its
+      touching neighbor, so only (edge) seeds lack a lower neighbor.
+    """
+    filled = fill_depressions(dem, meta)
+    w = fill_depressions_tiled(dem_tiles48, meta, tile=tile) \
+        .withColumnRenamed("filled", "w")
+    j = (filled.join(dem, ["row", "col"]).join(w, ["row", "col"]))
+    core = j.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("value") < F.col("w"), 1).otherwise(0)
+              ).alias("n_depression_cells"),
+        F.sum(F.when(F.col("filled") < F.col("value"), 1).otherwise(0)
+              ).alias("n_lowered"),
+        F.sum(F.when(F.col("filled") < F.col("w"), 1).otherwise(0)
+              ).alias("n_below_spill"))
+    return core.crossJoin(interior_pit_count(filled, "filled"))
+
+
+def breach_complete_invariants(dem: DataFrame, meta: RasterMeta
+                               ) -> DataFrame:
+    """Invariant summary of the complete-breach replay (see
+    oracles.breach_complete_invariants_sql)."""
+    out = breach_depressions(dem, meta)
+    j = out.join(dem, ["row", "col"])
+    core = j.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("breached") != F.col("value"), 1).otherwise(0)
+              ).alias("n_changed"),
+        F.sum(F.when(F.col("breached") < F.col("value"), 1).otherwise(0)
+              ).alias("n_lowered"),
+        F.sum(F.when(F.col("breached") > F.col("value"), 1).otherwise(0)
+              ).alias("n_raised"))
+    return (core
+            .crossJoin(interior_pit_count(dem, "value", "n_pits_in"))
+            .crossJoin(interior_pit_count(out, "breached")))
+
+
+def breach_constrained_invariants(dem: DataFrame, meta: RasterMeta,
+                                  max_depth: float, max_length: int
+                                  ) -> DataFrame:
+    """Invariant summary of the constrained-breach replay. The depth
+    bound is computed from the DEM's own range with the reference's
+    quantization constant (breachDepressions.go:328-329):
+    SMALL_NUM = 1/10^(5-digits) * 10, bound = max_depth +
+    (max_length+1)*SMALL_NUM (deepest legal cut plus the epsilon
+    channel gradient over a full-length path)."""
+    out = breach_depressions(dem, meta, max_depth=max_depth,
+                             max_length=max_length, constrained=True,
+                             post_breach_fill=True)
+    mn, mx = dem.agg(F.min("value"), F.max("value")).first()
+    digits = len(str(int(mx - mn)))
+    small = 1.0 / math.pow(10, float(5 - digits)) * 10.0
+    bound = max_depth + (max_length + 1) * small
+    j = out.join(dem, ["row", "col"])
+    core = j.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("value") - F.col("breached") > F.lit(bound),
+                     1).otherwise(0)).alias("n_over_depth_bound"),
+        F.sum(F.when(F.col("breached") != F.col("value"), 1).otherwise(0)
+              ).alias("n_changed")).withColumn(
+        "depth_bound", F.lit(bound))
+    return (core
+            .crossJoin(interior_pit_count(dem, "value", "n_pits_in"))
+            .crossJoin(interior_pit_count(out, "breached")))
+
+
+def breach_streams_invariants(dem: DataFrame, streams: DataFrame,
+                              meta: RasterMeta) -> DataFrame:
+    """Invariant summary of the BreachStreams replay (see
+    oracles.breach_streams_invariants_sql)."""
+    out = breach_streams(dem, streams, meta)
+    j = out.join(dem, ["row", "col"])
+    core = j.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("breached") != F.col("value"), 1).otherwise(0)
+              ).alias("n_changed"),
+        F.sum(F.when(F.col("breached") < F.col("value"), 1).otherwise(0)
+              ).alias("n_lowered"),
+        F.sum(F.when(F.col("breached") > F.col("value"), 1).otherwise(0)
+              ).alias("n_raised"))
+    streams_cnt = streams.agg(F.count("*").alias("n_stream_cells"))
+    return (core.crossJoin(streams_cnt)
+            .crossJoin(interior_pit_count(out, "breached")))
+
+
+def fd8_invariants(dem_tiles48, meta: RasterMeta, tile: int = 48
+                   ) -> DataFrame:
+    """Invariant summary of distributed FD8: accum == 1.0 exactly on
+    the headwater set (no strictly-higher valid neighbor — every
+    higher neighbor sends a strictly positive fraction), accum < 1 is
+    impossible. The headwater identity is float-exact: accum is
+    1.0 + (sum of non-negative inflows), and the inflow sum is 0 only
+    when there are no contributors."""
+    acc = fd8_flow_accum(dem_tiles48, meta, tile=tile)
+    return acc.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("accum") == 1.0, 1).otherwise(0)
+              ).alias("n_headwater"),
+        F.sum(F.when(F.col("accum") < 1.0, 1).otherwise(0)
+              ).alias("n_below_one"))

@@ -248,18 +248,18 @@ def d8_flow_accum_sql(rows: int, cols: int) -> str:
     """
 
 
-def fill_minimax_sql(rows: int, cols: int) -> str:
-    """Priority-Flood minimax spill (Barnes et al. 2014, epsilon=0 —
-    the specified semantics of hydrology.fill_depressions_tiled) as a
-    label-correcting recursive CTE: seeds are cells with an incomplete
-    8-neighborhood (grid edge or nodata-adjacent) at W=z; each step
-    relaxes W(n) = max(z(n), W(c)); the answer is min(W) per cell.
+def _w_cte(rows: int, cols: int) -> str:
+    """Shared recursive-CTE fragment computing the epsilon=0 minimax
+    spill surface W (Barnes et al. 2014 Priority-Flood semantics):
+    CTEs dem, off, seeds, ub, wwalk, W. Seeds are cells with an
+    incomplete 8-neighborhood (grid edge or nodata-adjacent) at W=z;
+    each step relaxes W(n) = max(z(n), W(c)); W = min over walks.
     A straight-line running-max upper bound prunes the frontier so the
-    UNION-distinct recursion stays near-linear."""
+    UNION-distinct recursion stays near-linear. Must be placed inside
+    a WITH RECURSIVE."""
     demsql = synthetic_dem_sql(rows, cols)
     vals = ", ".join(f"({dy}, {dx})" for _, dy, dx in _OFFSETS)
-    return f"""
-    WITH RECURSIVE dem AS MATERIALIZED ({demsql}),
+    return f"""dem AS MATERIALIZED ({demsql}),
     off(dy, dx) AS (SELECT * FROM (VALUES {vals}) t(dy, dx)),
     seeds AS MATERIALIZED (
       SELECT d.row, d.col, d.value
@@ -280,17 +280,270 @@ def fill_minimax_sql(rows: int, cols: int) -> str:
                            ROWS UNBOUNDED PRECEDING)
         ) AS ub
       FROM dem),
-    walk(r, c, w) AS (
+    wwalk(r, c, w) AS (
       SELECT row, col, value FROM seeds
       UNION
       SELECT d.row, d.col, greatest(d.value, wk.w) AS w
-      FROM walk wk
+      FROM wwalk wk
       JOIN off o ON true
       JOIN dem d ON d.row = wk.r + o.dy AND d.col = wk.c + o.dx
       JOIN ub u ON u.row = d.row AND u.col = d.col
       WHERE greatest(d.value, wk.w) <= u.ub
-    )
-    SELECT r AS row, c AS col, min(w) AS filled FROM walk GROUP BY r, c
+    ),
+    W AS MATERIALIZED (
+      SELECT r AS row, c AS col, min(w) AS w FROM wwalk GROUP BY r, c)"""
+
+
+def fill_minimax_sql(rows: int, cols: int) -> str:
+    """Priority-Flood minimax spill (the specified semantics of
+    hydrology.fill_depressions_tiled) via the shared W fragment."""
+    return f"""
+    WITH RECURSIVE {_w_cte(rows, cols)}
+    SELECT row, col, w AS filled FROM W
+    """
+
+
+def breach_minimax_sql(rows: int, cols: int) -> str:
+    """Full-value oracle for hydrology.breach_depressions_tiled (the
+    distributed minimax-path carve; spec at hydrology.py's
+    'Distributed BreachDepressions' section comment; reference
+    behavior: breachDepressions.go:450-505 in the epsilon->0 limit).
+
+    Four genuinely-computed stages, all recursive/ranked CTEs:
+
+    1. W  — epsilon=0 minimax spill surface (shared _w_cte fragment);
+    2. D  — plateau distance: BFS steps to a W-drop or outlet within
+       each equal-W plateau. The recursion must be dist-capped or the
+       walk wanders a plateau forever (dist strictly increases, so
+       UNION-distinct never terminates); the cap is the largest
+       equal-W non-seed group size + 1, a genuine shortest-path upper
+       bound (a shortest path's interior cells are distinct non-seed
+       cells of one plateau);
+    3. backlink forest — per cell, the argmin neighbor by
+       (W, D, z, global flat index) among neighbors strictly
+       lexicographically below in (W, D); outlet cells (incomplete
+       8-neighborhood) are terminal;
+    4. carve walk — from every strict interior pit, follow backlinks
+       carrying v := min(v, z); each visited cell's final value is
+       min(z, min of v over visits).
+
+    All output values are copies of input elevations (running mins),
+    so the comparison is bit-exact — no rounding."""
+    vals = ", ".join(f"({dy}, {dx})" for _, dy, dx in _OFFSETS)
+    return f"""
+    WITH RECURSIVE {_w_cte(rows, cols)},
+    dseeds AS MATERIALIZED (
+      SELECT c.row, c.col
+      FROM W c JOIN off o ON true
+      LEFT JOIN W n ON n.row = c.row + o.dy AND n.col = c.col + o.dx
+      GROUP BY c.row, c.col, c.w
+      HAVING count(n.row) < 8 OR min(n.w) < c.w),
+    nonseed AS MATERIALIZED (
+      SELECT w.row, w.col, w.w FROM W w
+      LEFT JOIN dseeds s ON s.row = w.row AND s.col = w.col
+      WHERE s.row IS NULL),
+    dcap AS MATERIALIZED (
+      SELECT coalesce(max(cnt), 0) + 1 AS cap
+      FROM (SELECT count(*) AS cnt FROM nonseed GROUP BY w) t),
+    dwalk(r, c, dist) AS (
+      SELECT row, col, 0 FROM dseeds
+      UNION
+      SELECT n.row, n.col, dw.dist + 1
+      FROM dwalk dw
+      JOIN off o ON true
+      JOIN nonseed n ON n.row = dw.r + o.dy AND n.col = dw.c + o.dx
+      JOIN W c ON c.row = dw.r AND c.col = dw.c
+      WHERE n.w = c.w AND dw.dist + 1 <= (SELECT cap FROM dcap)
+    ),
+    D AS MATERIALIZED (
+      SELECT w.row, w.col, coalesce(min(dw.dist), 0) AS d
+      FROM W w LEFT JOIN dwalk dw ON dw.r = w.row AND dw.c = w.col
+      GROUP BY w.row, w.col),
+    cand AS (
+      SELECT c.row, c.col, dn.row AS nr, dn.col AS nc,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.row, c.col
+               ORDER BY wn.w, dnn.d, dn.value, dn.row * {cols} + dn.col
+             ) AS rk
+      FROM dem c
+      JOIN W wc ON wc.row = c.row AND wc.col = c.col
+      JOIN D dc ON dc.row = c.row AND dc.col = c.col
+      JOIN off o ON true
+      JOIN dem dn ON dn.row = c.row + o.dy AND dn.col = c.col + o.dx
+      JOIN W wn ON wn.row = dn.row AND wn.col = dn.col
+      JOIN D dnn ON dnn.row = dn.row AND dnn.col = dn.col
+      WHERE (wn.w < wc.w OR (wn.w = wc.w AND dnn.d < dc.d))
+        AND NOT EXISTS (SELECT 1 FROM seeds s
+                        WHERE s.row = c.row AND s.col = c.col)
+    ),
+    blink AS MATERIALIZED (SELECT row, col, nr, nc FROM cand WHERE rk = 1),
+    pits AS MATERIALIZED (
+      SELECT d.row, d.col, d.value
+      FROM dem d JOIN off o ON true
+      LEFT JOIN dem x ON x.row = d.row + o.dy AND x.col = d.col + o.dx
+      GROUP BY d.row, d.col, d.value
+      HAVING count(x.row) = 8 AND min(x.value) > d.value),
+    cwalk(r, c, v) AS (
+      SELECT row, col, value FROM pits
+      UNION
+      SELECT b.nr, b.nc, least(cw.v, dn.value)
+      FROM cwalk cw
+      JOIN blink b ON b.row = cw.r AND b.col = cw.c
+      JOIN dem dn ON dn.row = b.nr AND dn.col = b.nc
+    ),
+    carve AS (SELECT r AS row, c AS col, min(v) AS v
+              FROM cwalk GROUP BY r, c)
+    SELECT d.row, d.col,
+           least(d.value, coalesce(cv.v, d.value)) AS value
+    FROM dem d LEFT JOIN carve cv ON cv.row = d.row AND cv.col = d.col
+    """
+
+
+# ---------------------------------------------------------------------------
+# Invariant oracles for the heap-replay / float-order hydrology family
+# ---------------------------------------------------------------------------
+# The single-partition replays (fill_depressions, breach_depressions,
+# breach_constrained, breach_streams) reproduce reference heap-pop
+# order bit-for-bit (fillDepressions.go:262 stale-zN seed quirk,
+# breachDepressions.go:450-505 backlink races), so a per-cell SQL
+# oracle would have to replay the heap — tautological. FD8's per-cell
+# values additionally depend on float summation order, and a SQL
+# path-walk oracle is unavailable (each packet splits 8 ways per step
+# -> exponential path enumeration; DuckDB 1.0 allows no aggregate in a
+# recursive term to fold them level-by-level). Instead the driver
+# queries return one row of INVARIANTS computed from the full per-cell
+# output, checked against values the oracle genuinely derives from the
+# input DEM (counts, minimax-W CTE, headwater sets, arithmetic depth
+# bounds), spec constants (counts of impossible events = 0), and a few
+# golden scalars of the deterministic replay (same status as the
+# geotiff tag golden). Per-cell parity lives in
+# tests/test_hydrology.py against straight-line NumPy replays.
+
+
+def _pits_in_cte(strict: bool = False) -> str:
+    """CTE fragment `pits_in`: interior pits of the input DEM — all 8
+    neighbors present, valid, and none strictly lower (flat-inclusive,
+    the breach seeding definition at breachDepressions.go:283-305;
+    strict=True gives the strict-minima set)."""
+    cmp = ">" if strict else ">="
+    return f"""pits_in AS (
+      SELECT d.row, d.col
+      FROM dem d JOIN off o ON true
+      LEFT JOIN dem x ON x.row = d.row + o.dy AND x.col = d.col + o.dx
+      GROUP BY d.row, d.col, d.value
+      HAVING count(x.row) = 8 AND min(x.value) {cmp} d.value)"""
+
+
+def _dem_off_cte(rows: int, cols: int) -> str:
+    demsql = synthetic_dem_sql(rows, cols)
+    vals = ", ".join(f"({dy}, {dx})" for _, dy, dx in _OFFSETS)
+    return (f"dem AS MATERIALIZED ({demsql}),\n"
+            f"    off(dy, dx) AS (SELECT * FROM (VALUES {vals}) t(dy, dx))")
+
+
+def fill_invariants_sql(rows: int, cols: int) -> str:
+    """Invariants of the exact FillDepressions replay (fixFlats=True):
+    n_cells and n_depression_cells (= cells strictly below the minimax
+    spill W) are genuinely computed (W via the recursive CTE); the
+    three zeros are provable properties of any correct epsilon-fill
+    (never lowers, never below W, leaves no interior pit — see
+    hydrology.fill_invariants docstring for the proofs)."""
+    return f"""
+    WITH RECURSIVE {_w_cte(rows, cols)}
+    SELECT (SELECT count(*) FROM dem) AS n_cells,
+           (SELECT count(*) FROM dem d
+            JOIN W w ON w.row = d.row AND w.col = d.col
+            WHERE d.value < w.w) AS n_depression_cells,
+           CAST(0 AS BIGINT) AS n_lowered,
+           CAST(0 AS BIGINT) AS n_below_spill,
+           CAST(0 AS BIGINT) AS n_interior_pits
+    """
+
+
+def breach_complete_invariants_sql(rows: int, cols: int,
+                                   n_changed: int, n_lowered: int,
+                                   n_raised: int) -> str:
+    """Invariants of the complete-breach replay: n_cells / n_pits_in
+    genuine; n_interior_pits=0 is the tool's contract (every pit gets
+    a carved outlet channel); changed/lowered/raised counts are golden
+    scalars of the deterministic replay."""
+    return f"""
+    WITH {_dem_off_cte(rows, cols)},
+    {_pits_in_cte()}
+    SELECT (SELECT count(*) FROM dem) AS n_cells,
+           (SELECT count(*) FROM pits_in) AS n_pits_in,
+           CAST(0 AS BIGINT) AS n_interior_pits,
+           CAST({n_changed} AS BIGINT) AS n_changed,
+           CAST({n_lowered} AS BIGINT) AS n_lowered,
+           CAST({n_raised} AS BIGINT) AS n_raised
+    """
+
+
+def breach_constrained_invariants_sql(rows: int, cols: int,
+                                      max_depth: float, max_length: int,
+                                      n_changed: int) -> str:
+    """Invariants of the constrained-breach replay. depth_bound is
+    genuine cross-engine arithmetic: the deepest legal cut is
+    max_depth plus the epsilon channel gradient over a full-length
+    path, max_depth + (max_length+1) * SMALL_NUM with SMALL_NUM =
+    1/10^(5-digits) * 10 from the DEM's own elevation range
+    (breachDepressions.go:328-329); n_over_depth_bound counts output
+    cells cut below that bound (must be 0)."""
+    small = ("(1.0 / pow(10, 5 - length(CAST(CAST(floor("
+             "(SELECT max(value) - min(value) FROM dem)"
+             ") AS BIGINT) AS VARCHAR))) * 10.0)")
+    return f"""
+    WITH {_dem_off_cte(rows, cols)},
+    {_pits_in_cte()}
+    SELECT (SELECT count(*) FROM dem) AS n_cells,
+           (SELECT count(*) FROM pits_in) AS n_pits_in,
+           CAST(0 AS BIGINT) AS n_interior_pits,
+           CAST(0 AS BIGINT) AS n_over_depth_bound,
+           {max_depth} + ({max_length} + 1) * {small} AS depth_bound,
+           CAST({n_changed} AS BIGINT) AS n_changed
+    """
+
+
+def breach_streams_invariants_sql(rows: int, cols: int,
+                                  n_changed: int, n_lowered: int,
+                                  n_raised: int) -> str:
+    """Invariants of the BreachStreams replay: n_cells genuine;
+    n_stream_cells is the cross+diagonal synthetic network size,
+    genuinely counted from its defining predicate; n_interior_pits=0
+    is the tool's contract; changed/lowered/raised are golden."""
+    return f"""
+    WITH {_dem_off_cte(rows, cols)}
+    SELECT (SELECT count(*) FROM dem) AS n_cells,
+           (SELECT count(*) FROM range(0, {rows} * {cols}) t(i)
+            WHERE (i // {cols}) = {rows // 2}
+               OR (i % {cols}) = {cols // 2}
+               OR (i // {cols}) = (i % {cols})) AS n_stream_cells,
+           CAST(0 AS BIGINT) AS n_interior_pits,
+           CAST({n_changed} AS BIGINT) AS n_changed,
+           CAST({n_lowered} AS BIGINT) AS n_lowered,
+           CAST({n_raised} AS BIGINT) AS n_raised
+    """
+
+
+def fd8_invariants_sql(rows: int, cols: int) -> str:
+    """Invariants of distributed FD8 accumulation: a cell's accum is
+    exactly 1.0 iff it has no strictly-higher valid 8-neighbor (every
+    higher neighbor contributes a strictly positive (z-zN)^2 weight
+    fraction, fd8FlowAccum.go:356-383), so the headwater set is
+    genuinely computable from the DEM alone; accum < 1 is impossible
+    (loads are non-negative, every valid cell starts at 1)."""
+    return f"""
+    WITH {_dem_off_cte(rows, cols)},
+    head AS (
+      SELECT d.row, d.col
+      FROM dem d JOIN off o ON true
+      LEFT JOIN dem x ON x.row = d.row + o.dy AND x.col = d.col + o.dx
+      GROUP BY d.row, d.col, d.value
+      HAVING coalesce(sum(CASE WHEN x.value > d.value THEN 1 ELSE 0 END),
+                      0) = 0)
+    SELECT (SELECT count(*) FROM dem) AS n_cells,
+           (SELECT count(*) FROM head) AS n_headwater,
+           CAST(0 AS BIGINT) AS n_below_one
     """
 
 
