@@ -172,15 +172,30 @@ def simhash_oracle_sql(docs_tbl: str = "documents", bits: int = 60) -> str:
     """
 
 
-def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
+def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM,
+                       df_cap: int = 1000) -> DataFrame:
     """For each doc: its max-Jaccard neighbor over word-n-gram sets
     (candidates = docs sharing >= 1 gram). Deterministic tie-break
-    (jaccard DESC, neighbor ASC). Integer set sizes -> exact ratios."""
+    (jaccard DESC, neighbor ASC). Integer set sizes -> exact ratios.
+
+    df_cap bounds per-gram document frequency: grams appearing in more
+    than df_cap documents are dropped from the vocabulary BEFORE the
+    gram self-join (standard near-dup practice) — without it one
+    boilerplate phrase shared by 10^5 docs makes that join key emit
+    10^10 rows. The cap applies symmetrically to set sizes and
+    intersections (Jaccard over the capped vocabulary), mirrored
+    exactly in the oracle."""
     docs = ensure_parallelism(docs)
-    # g feeds three plan branches (sizes + both sides of the self-join);
-    # persist so the scan+explode+distinct runs once, not three times —
-    # at production scale g is the expensive multi-TB intermediate
-    g = _grams(docs, n_gram).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # g_all feeds three plan branches (sizes + both sides of the
+    # self-join); persist so the scan+explode+distinct runs once, not
+    # three times — at production scale this is the multi-TB intermediate
+    g_all = _grams(docs, n_gram).distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # hot grams are by definition few (df > df_cap) -> broadcast the
+    # exclusion list; the anti-join stays map-side over the cached g_all
+    hot = (g_all.groupBy("gram").agg(F.count("*").alias("df"))
+           .where(F.col("df") > df_cap).select("gram"))
+    g = g_all.join(F.broadcast(hot), "gram", "left_anti")
     # sizes is one row per doc — broadcast both lookup joins
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (g.alias("l").join(g.alias("r"), "gram")
@@ -203,12 +218,17 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM) -> DataFrame:
 
 
 def ngram_jaccard_top1_oracle_sql(docs_tbl: str = "documents",
-                                  n_gram: int = NGRAM) -> str:
+                                  n_gram: int = NGRAM,
+                                  df_cap: int = 1000) -> str:
     return f"""
-    WITH g AS (
+    WITH g_all AS (
       SELECT DISTINCT doc_id, unnest({_grams_sql(n_gram)}) AS gram
       FROM {docs_tbl}
       WHERE len(string_split(text, ' ')) >= {n_gram}),
+    hot AS (SELECT gram FROM g_all GROUP BY gram
+            HAVING count(*) > {df_cap}),
+    g AS (SELECT * FROM g_all
+          WHERE gram NOT IN (SELECT gram FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
     pairs AS (
       SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter

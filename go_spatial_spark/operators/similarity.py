@@ -66,9 +66,59 @@ _NORM2_SQL = ("list_reduce(list_transform({a}, "
               "(__x, __y) -> __x + __y)")
 
 
-def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+def cosine_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+                nprobe: int = 2) -> DataFrame:
+    """Self top-k by cosine over a bucketed ANN candidate set — the
+    scale path (no driver corpus collect, no cross join).
+
+    Candidates = (IVF: queries x members of their nprobe nearest
+    centroid buckets) UNION (random-hyperplane LSH band-mates), then
+    an *exact* cosine re-rank: candidate pairs equi-join the
+    embeddings table on both sides, score with the Arrow left-fold dot
+    (bit-identical to the oracle's list_reduce), and a window keeps
+    the per-query top-k with the (cos DESC, nid ASC) tie-break.
+
+    At 10^12 vectors every stage is an equi-join / hash aggregation on
+    bucket or vec_id keys (AQE splits hot buckets); only the
+    n_centroids-row quantizer is collected. The brute-force exactness
+    baseline lives in cosine_topk_bruteforce (size-guarded)."""
+    emb = ensure_parallelism(emb)
+    ranked = _ivf_assign(emb, n_centroids, nprobe)
+    buckets = ranked.where(F.col("arn") == 1).select(
+        F.col("vec_id").alias("nid"), "cid")
+    probes = ranked.where(F.col("arn") <= nprobe).select(
+        F.col("vec_id").alias("qid"), "cid")
+    ivf_cand = (probes.join(buckets, "cid")
+                .where(F.col("qid") != F.col("nid"))
+                .select("qid", "nid"))
+    lsh = embed_lsh_pairs(emb)
+    lsh_cand = (lsh.select(F.col("a").alias("qid"), F.col("b").alias("nid"))
+                .unionByName(lsh.select(F.col("b").alias("qid"),
+                                        F.col("a").alias("nid"))))
+    cand = ivf_cand.unionByName(lsh_cand).distinct()
+    qe = emb.select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"),
+                    _norm_fold_arrow("embedding").alias("qn"))
+    ne = emb.select(F.col("vec_id").alias("nid"),
+                    F.col("embedding").alias("ne"),
+                    _norm_fold_arrow("embedding").alias("nn"))
+    cos = _dot_fold_arrow(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+    scored = (cand.join(qe, "qid").join(ne, "nid")
+              .select("qid", "nid", cos.alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("vec_id"),
+                    F.col("nid").alias("neighbor_id"),
+                    F.col("rank").cast("int").alias("rank"), "cos"))
+
+
+def cosine_topk_bruteforce(emb: DataFrame, k: int = 5,
+                           max_rows: int = 200_000) -> DataFrame:
     """Exact self top-k by cosine similarity (vec_id, neighbor_id,
-    rank, cos). Ties broken by neighbor id; cos is bit-deterministic.
+    rank, cos) — the documented small-N exactness baseline (used to
+    measure ANN recall in tests). Ties broken by neighbor id; cos is
+    bit-deterministic.
 
     Physical plan: the corpus matrix is a Spark broadcast (the classic
     brute-force ANN shape — queries partitioned, corpus replicated);
@@ -76,9 +126,19 @@ def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     *sequential* fold over the feature axis (acc += q_k * c_k in
     element order), so every dot product is bit-identical to the SQL
     oracle's list_reduce left fold. Top-k via per-row lexsort on
-    (-cos, nid) keeps the deterministic tie-break."""
+    (-cos, nid) keeps the deterministic tie-break.
+
+    O(N^2) compute + a driver collect of the corpus: hard-guarded to
+    max_rows (raises beyond) so a misrouted big job fails loudly
+    instead of melting the driver."""
     emb = ensure_parallelism(emb)
     spark = emb.sparkSession
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_topk_bruteforce is the O(N^2) small-N baseline: "
+            f"corpus has {n} rows > max_rows={max_rows}; use "
+            f"cosine_topk (IVF+LSH candidates, exact re-rank) at scale")
     corpus_pdf = emb.select("vec_id", "embedding").toPandas()
     c_ids = corpus_pdf["vec_id"].to_numpy()
     c_mat = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64)
@@ -115,7 +175,58 @@ def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         solve, schema="vec_id long, neighbor_id long, rank int, cos double")
 
 
-def cosine_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5) -> str:
+def cosine_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
+                           n_centroids: int = 16, nprobe: int = 2) -> str:
+    """Oracle for the ANN-candidate top-k: genuinely recomputes both
+    candidate generators (IVF assignment ranking + LSH band signatures)
+    and the exact list_reduce re-rank."""
+    dot_ec = _DOT_SQL.format(a="e.embedding", b="c.ce")
+    ne_ = _NORM2_SQL.format(a="e.embedding")
+    nc_ = _NORM2_SQL.format(a="c.ce")
+    dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    nq = _NORM2_SQL.format(a="q.embedding")
+    nc = _NORM2_SQL.format(a="c.embedding")
+    lsh = embed_lsh_pairs_oracle_sql(emb_tbl)
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM {emb_tbl}
+      ORDER BY vec_id LIMIT {n_centroids}),
+    assign_all AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {dot_ec} / (sqrt({ne_}) * sqrt({nc_})) AS cc
+      FROM {emb_tbl} e CROSS JOIN cents c),
+    ranked_a AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS arn
+      FROM assign_all),
+    ivf_cand AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid
+      FROM ranked_a q JOIN ranked_a n
+        ON q.cid = n.cid AND n.arn = 1 AND q.arn <= {nprobe}
+       AND q.vec_id <> n.vec_id),
+    lshpairs AS MATERIALIZED ({lsh}),
+    cand AS (
+      SELECT DISTINCT qid, nid FROM (
+        SELECT qid, nid FROM ivf_cand
+        UNION ALL SELECT a AS qid, b AS nid FROM lshpairs
+        UNION ALL SELECT b AS qid, a AS nid FROM lshpairs)),
+    scored AS (
+      SELECT p.qid AS vec_id, p.nid AS neighbor_id,
+             {dot} / (sqrt({nq}) * sqrt({nc})) AS cos
+      FROM cand p
+      JOIN {emb_tbl} q ON q.vec_id = p.qid
+      JOIN {emb_tbl} c ON c.vec_id = p.nid),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def cosine_topk_bruteforce_oracle_sql(emb_tbl: str = "embeddings",
+                                      k: int = 5) -> str:
     dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
     nq = _NORM2_SQL.format(a="q.embedding")
     nc = _NORM2_SQL.format(a="c.embedding")
@@ -133,15 +244,13 @@ def cosine_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5) -> str:
     """
 
 
-def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
-             nprobe: int = 2) -> DataFrame:
-    """IVF ANN: centroids = embeddings of the n_centroids smallest
-    vec_ids; every vector is assigned to its nearest centroid; queries
-    probe their nprobe nearest buckets. Assignment runs as one
-    broadcast-centroids mapInPandas pass (fold order preserved);
-    bucket search is an equi-join on centroid id with per-vector
-    precomputed norms — the shuffle-light ANN shape."""
-    emb = ensure_parallelism(emb)
+def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
+    """IVF coarse assignment: (vec_id, embedding, cid, arn, norm) rows
+    for each vector's arn-th nearest centroid, arn = 1..nprobe.
+    Centroids = embeddings of the n_centroids smallest vec_ids (a
+    deterministic quantizer — no kmeans nondeterminism); only this
+    n_centroids-row dim table is collected/broadcast. One
+    mapInPandas pass with the fold order preserved."""
     spark = emb.sparkSession
     cents_pdf = (emb.orderBy("vec_id").limit(n_centroids)
                  .select("vec_id", "embedding").toPandas())
@@ -172,9 +281,21 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
             yield pd.DataFrame(rows, columns=["vec_id", "embedding",
                                               "cid", "arn", "norm"])
 
-    ranked = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         assign, schema=("vec_id long, embedding array<float>, cid long, "
                         "arn int, norm double")).cache()
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 2) -> DataFrame:
+    """IVF ANN: centroids = embeddings of the n_centroids smallest
+    vec_ids; every vector is assigned to its nearest centroid; queries
+    probe their nprobe nearest buckets. Assignment runs as one
+    broadcast-centroids mapInPandas pass (fold order preserved);
+    bucket search is an equi-join on centroid id with per-vector
+    precomputed norms — the shuffle-light ANN shape."""
+    emb = ensure_parallelism(emb)
+    ranked = _ivf_assign(emb, n_centroids, nprobe)
     buckets = ranked.where(F.col("arn") == 1).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
         "cid", F.col("norm").alias("nn"))
@@ -261,8 +382,40 @@ def ivf_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
 
 def cosine_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)
-    — the embedding leg of the dedup family."""
+    over the LSH candidate set — the embedding leg of the dedup family
+    in its scale shape: random-hyperplane band bucketing generates
+    candidates (equi-join on (band, sig) — never all pairs), then the
+    exact Arrow-fold cosine refines. Recall is the standard LSH
+    tradeoff (band/bit parameters tune it; at production thresholds
+    near-dups collide in >=1 band w.h.p.); the exhaustive baseline is
+    cosine_near_dup_bruteforce (size-guarded), which tests use to
+    measure recall."""
     emb = ensure_parallelism(emb)
+    pairs = embed_lsh_pairs(emb)
+    q = emb.select(F.col("vec_id").alias("a"),
+                   F.col("embedding").alias("qe"),
+                   _norm_fold_arrow("embedding").alias("qn"))
+    c = emb.select(F.col("vec_id").alias("b"),
+                   F.col("embedding").alias("ne"),
+                   _norm_fold_arrow("embedding").alias("nn"))
+    cos = _dot_fold_arrow(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+    return (pairs.join(q, "a").join(c, "b")
+            .select("a", "b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .select("a", "b", "cos"))
+
+
+def cosine_near_dup_bruteforce(emb: DataFrame, threshold: float = 0.35,
+                               max_rows: int = 100_000) -> DataFrame:
+    """All-pairs exact near-dup (a < b, cos >= threshold): the O(N^2)
+    cross-join exactness baseline, hard-guarded to max_rows."""
+    emb = ensure_parallelism(emb)
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_near_dup_bruteforce is the O(N^2) baseline: corpus "
+            f"has {n} rows > max_rows={max_rows}; use cosine_near_dup "
+            f"(LSH candidates + exact refine) at scale")
     q = emb.select(F.col("vec_id").alias("a"),
                    F.col("embedding").alias("qe"),
                    _norm_fold_arrow("embedding").alias("qn"))
@@ -277,6 +430,26 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
 
 def cosine_near_dup_oracle_sql(emb_tbl: str = "embeddings",
                                threshold: float = 0.35) -> str:
+    """Oracle for the LSH-candidate near-dup: the genuinely-computed
+    LSH pair set (embed_lsh_pairs_oracle_sql) refined by the exact
+    list_reduce cosine."""
+    dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    nq = _NORM2_SQL.format(a="q.embedding")
+    nc = _NORM2_SQL.format(a="c.embedding")
+    lsh = embed_lsh_pairs_oracle_sql(emb_tbl)
+    return f"""
+    WITH lshpairs AS MATERIALIZED ({lsh})
+    SELECT p.a, p.b,
+           {dot} / (sqrt({nq}) * sqrt({nc})) AS cos
+    FROM lshpairs p
+    JOIN {emb_tbl} q ON q.vec_id = p.a
+    JOIN {emb_tbl} c ON c.vec_id = p.b
+    WHERE {dot} / (sqrt({nq}) * sqrt({nc})) >= {threshold}
+    """
+
+
+def cosine_near_dup_bruteforce_oracle_sql(emb_tbl: str = "embeddings",
+                                          threshold: float = 0.35) -> str:
     dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
     nq = _NORM2_SQL.format(a="q.embedding")
     nc = _NORM2_SQL.format(a="c.embedding")

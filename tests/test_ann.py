@@ -1,0 +1,87 @@
+"""ANN / near-dup scale-path behavior: plan shape (no cross join, no
+corpus collect), exact-refine precision vs the brute-force baselines,
+and the n-gram document-frequency cap on skewed corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_spatial_spark.operators import dedup, similarity
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_plans_have_no_cross_join(spark, sf001):
+    """cosine_topk / cosine_near_dup are bucketed candidate plans:
+    every join is an equi-join on (cid) / (band, sig) / vec_id keys —
+    no CartesianProduct, no BroadcastNestedLoopJoin (the crossJoin
+    baselines are quarantined in *_bruteforce)."""
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    for df in (similarity.cosine_topk(emb),
+               similarity.cosine_near_dup(emb)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bruteforce_guards_raise(spark, sf001):
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    with pytest.raises(ValueError, match="small-N baseline"):
+        similarity.cosine_topk_bruteforce(emb, max_rows=10)
+    with pytest.raises(ValueError, match="baseline"):
+        similarity.cosine_near_dup_bruteforce(emb, max_rows=10)
+
+
+def test_near_dup_precision_vs_bruteforce(spark, sf001):
+    """LSH-candidate near-dup has exact precision: every reported pair
+    appears (with the bit-identical cos) in the all-pairs baseline.
+    Recall is the documented LSH tradeoff, so only subset is asserted."""
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    got = {(r.a, r.b, r.cos)
+           for r in similarity.cosine_near_dup(emb).collect()}
+    ref = {(r.a, r.b, r.cos)
+           for r in similarity.cosine_near_dup_bruteforce(emb).collect()}
+    assert got <= ref
+    assert len(got) > 0
+
+
+def test_topk_cos_values_exact(spark, sf001):
+    """The ANN top-k re-rank is exact on its candidate set: for every
+    reported (q, n) pair the cos equals the brute-force cos bitwise."""
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    got = similarity.cosine_topk(emb).collect()
+    ref = {(r.vec_id, r.neighbor_id): r.cos
+           for r in similarity.cosine_topk_bruteforce(emb, k=50).collect()}
+    checked = 0
+    for r in got:
+        key = (r.vec_id, r.neighbor_id)
+        if key in ref:
+            assert ref[key] == r.cos
+            checked += 1
+    assert checked > len(got) // 2  # most ANN hits land in exact top-50
+
+
+def test_ngram_df_cap_drops_boilerplate(spark):
+    """A stop-phrase gram shared by every doc must not explode the
+    candidate self-join: with df_cap below the corpus size the
+    boilerplate vocabulary is dropped and docs with only-unique tails
+    produce no candidate pairs; uncapped, the same corpus pairs
+    everything with everything."""
+    boiler = "terms of service apply to all pages"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_top1(docs, df_cap=10)
+    assert capped.count() == 0
+    uncapped = dedup.ngram_jaccard_top1(docs, df_cap=10**9)
+    assert uncapped.count() == 40
+
+
+def test_ngram_df_cap_preserves_results_below_cap(spark, sf001):
+    """On a realistic corpus (no gram near the cap) the capped and
+    uncapped results are identical."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    a = dedup.ngram_jaccard_top1(docs, df_cap=1000).collect()
+    b = dedup.ngram_jaccard_top1(docs, df_cap=10**9).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
