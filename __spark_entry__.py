@@ -37,6 +37,11 @@ from go_spatial_spark.operators.window_stats import (
 
 GRID_ROWS, GRID_COLS, TILE = 96, 96, 32
 META = RasterMeta(rows=GRID_ROWS, cols=GRID_COLS)
+# the same synthetic DEM re-georeferenced to a lat/lon CRS (EPSG:4326):
+# terrain kernels then apply the reference's zConvFactor
+# (slope.go:168-175, midLat = (north-south)/2 verbatim)
+META_GEO = RasterMeta(rows=GRID_ROWS, cols=GRID_COLS, north=50.0,
+                      south=40.0, east=10.0, west=0.0, epsg=4326)
 WORLD = RasterMeta(rows=180, cols=360, north=90.0, south=-90.0,
                    east=180.0, west=-180.0)
 
@@ -106,6 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- grid / DEM (synthetic 96x96, tile 32, sf-independent) ------------
     q["dem"] = lambda spark, sf: synthetic_dem(spark, GRID_ROWS, GRID_COLS)
     q["slope"] = _stencil_query(kernels.slope_kernel, 1, "slope", round_to=4)
+
+    def slope_geographic_q(spark: SparkSession, sf: str) -> DataFrame:
+        long = run_stencil(_dem_tiles(spark), META_GEO,
+                           kernels.slope_kernel, halo=1, tile=TILE,
+                           output="long", value_col="slope")
+        return long.withColumn("slope", F.round(F.col("slope"), 4))
+    q["slope_geographic"] = slope_geographic_q
     q["aspect"] = _stencil_query(kernels.aspect_kernel, 1, "aspect", round_to=4)
     q["hillshade"] = _stencil_query(kernels.hillshade_kernel, 1, "shade")
 
@@ -328,6 +340,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["dem"] = synthetic_dem_sql(GRID_ROWS, GRID_COLS)
     o["slope"] = oracles.slope_sql(GRID_ROWS, GRID_COLS)
+    o["slope_geographic"] = oracles.slope_geographic_sql(
+        GRID_ROWS, GRID_COLS, META_GEO)
     o["aspect"] = oracles.aspect_sql(GRID_ROWS, GRID_COLS)
     o["hillshade"] = oracles.hillshade_sql(GRID_ROWS, GRID_COLS)
     o["hillshade_trim"] = oracles.hillshade_trim_sql(GRID_ROWS, GRID_COLS)

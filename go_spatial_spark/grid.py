@@ -39,7 +39,9 @@ NODATA = -32768.0  # reference default: raster.go:104
 
 @dataclass(frozen=True)
 class RasterMeta:
-    """Raster header, mirroring RasterConfig (raster.go:68-87)."""
+    """Raster header, mirroring RasterConfig (raster.go:68-87):
+    epsg/wkt/xy_units feed the geographic-coordinates detection,
+    pixel_is_area the cell-size divisor (raster.go:383-399)."""
 
     rows: int
     cols: int
@@ -49,6 +51,9 @@ class RasterMeta:
     west: float = 0.0
     nodata: float = NODATA
     epsg: int = 0
+    wkt: str = ""
+    xy_units: str = ""
+    pixel_is_area: bool = True
 
     def __post_init__(self):
         if self.north == 0.0 and self.south == 0.0:
@@ -58,16 +63,48 @@ class RasterMeta:
 
     @property
     def cellsize_x(self) -> float:
-        return (self.east - self.west) / self.cols
+        # raster.go:383-390: pixel-is-point grids span (cols-1) cells
+        d = self.cols if self.pixel_is_area else self.cols - 1
+        return (self.east - self.west) / d
 
     @property
     def cellsize_y(self) -> float:
-        return (self.north - self.south) / self.rows
+        d = self.rows if self.pixel_is_area else self.rows - 1
+        return (self.north - self.south) / d
 
     @property
     def mean_cellsize(self) -> float:
         # slope.go:150-151: eightGridRes = 8 * mean cell size
         return (self.cellsize_x + self.cellsize_y) / 2.0
+
+    @property
+    def is_geographic(self) -> bool:
+        """Geographic-CRS detection (raster.go:417-436
+        IsInGeographicCoordinates): known geographic EPSG codes, a
+        non-projected WKT, or degree XY units. Divergence from the
+        reference's stop-gap: an EMPTY wkt does not imply geographic
+        (the Go version returns true for any raster without a WKT,
+        which would flag every headerless projected grid); absent CRS
+        metadata here means projected, matching the .dep 'XY Units'
+        convention."""
+        if self.epsg in (4322, 4326, 4629, 4277):
+            return True
+        w = self.wkt.lower()
+        if w and "projcs[" not in w:
+            return True
+        return "deg" in self.xy_units.lower()
+
+    @property
+    def z_conv_factor(self) -> float:
+        """Elevation-unit conversion for geographic grids
+        (slope.go:168-175): 1/(113200*cos(midLat)), with the
+        reference's verbatim midLat = (north - south)/2 — the half
+        EXTENT, not the midpoint — reproduced for parity."""
+        if self.is_geographic:
+            mid_lat = (self.north - self.south) / 2.0
+            if -90.0 <= mid_lat <= 90.0:
+                return 1.0 / (113200 * np.cos(np.pi / 180.0 * mid_lat))
+        return 1.0
 
 
 # ---------------------------------------------------------------------------

@@ -40,10 +40,24 @@ def _gradients(c, N, eight_grid_res):
     return fy, fx
 
 
+def _scaled_neighbors(padded: np.ndarray, halo: int, ctx):
+    """(mask-center, scaled neighbors): applies the geographic
+    z-conversion factor (slope.go:168-175, 207-215 — z and every zN
+    are multiplied by zConvFactor before the gradient; a NoData
+    neighbor takes the already-scaled center). Identity for projected
+    grids (factor 1)."""
+    c, N = _neighbors(padded, halo, ctx.meta.nodata)
+    zf = ctx.meta.z_conv_factor
+    if zf != 1.0:
+        N = [n * zf for n in N]
+    return c, N
+
+
 def slope_kernel(padded: np.ndarray, halo: int, ctx) -> np.ndarray:
-    """Slope in degrees (slope.go:196-226). zConvFactor=1 (projected)."""
+    """Slope in degrees (slope.go:196-226); geographic grids get the
+    zConvFactor elevation scaling (slope.go:168-175)."""
     nodata = ctx.meta.nodata
-    c, N = _neighbors(padded, halo, nodata)
+    c, N = _scaled_neighbors(padded, halo, ctx)
     fy, fx = _gradients(c, N, 8.0 * ctx.meta.mean_cellsize)
     with np.errstate(invalid="ignore"):
         out = np.arctan(np.sqrt(fx * fx + fy * fy)) * RAD_TO_DEG
@@ -51,9 +65,10 @@ def slope_kernel(padded: np.ndarray, halo: int, ctx) -> np.ndarray:
 
 
 def aspect_kernel(padded: np.ndarray, halo: int, ctx) -> np.ndarray:
-    """Aspect in degrees; -1 where fx==0 (aspect.go:219-227)."""
+    """Aspect in degrees; -1 where fx==0 (aspect.go:219-227);
+    geographic zConvFactor per aspect.go:170-175."""
     nodata = ctx.meta.nodata
-    c, N = _neighbors(padded, halo, nodata)
+    c, N = _scaled_neighbors(padded, halo, ctx)
     fy, fx = _gradients(c, N, 8.0 * ctx.meta.mean_cellsize)
     with np.errstate(divide="ignore", invalid="ignore"):
         val = 180.0 - np.arctan(fy / fx) * RAD_TO_DEG + 90.0 * (fx / np.abs(fx))
@@ -63,13 +78,14 @@ def aspect_kernel(padded: np.ndarray, halo: int, ctx) -> np.ndarray:
 
 def hillshade_kernel(padded: np.ndarray, halo: int, ctx) -> np.ndarray:
     """Hillshade, azimuth 315 / altitude 30 hard-coded
-    (hillshade.go:137-140, 229-247)."""
+    (hillshade.go:137-140, 229-247); geographic zConvFactor per
+    hillshade.go:175-180."""
     nodata = ctx.meta.nodata
     azimuth = (315.0 - 90.0) * DEG_TO_RAD
     altitude = 30.0 * DEG_TO_RAD
     sin_theta = np.sin(altitude)
     cos_theta = np.cos(altitude)
-    c, N = _neighbors(padded, halo, nodata)
+    c, N = _scaled_neighbors(padded, halo, ctx)
     fy, fx = _gradients(c, N, 8.0 * ctx.meta.mean_cellsize)
     with np.errstate(divide="ignore", invalid="ignore"):
         tan_slope = np.sqrt(fx * fx + fy * fy)

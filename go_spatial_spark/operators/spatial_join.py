@@ -241,20 +241,28 @@ def knn_oracle_sql(points_sql: str, k: int = 5, id_col: str = "doc_id") -> str:
 # ---------------------------------------------------------------------------
 
 def raster_to_vector_points(grid: DataFrame, meta) -> DataFrame:
-    """Long-form grid -> point table at cell centers (the
-    RasterToVectorPoints semantics named in BASELINE.json#north_star;
-    coordinate mapping per raster.go:383-399 pixel-is-area)."""
-    x = F.lit(meta.west) + (F.col("col") + F.lit(0.5)) * F.lit(meta.cellsize_x)
-    y = F.lit(meta.north) - (F.col("row") + F.lit(0.5)) * F.lit(meta.cellsize_y)
+    """Long-form grid -> point table (the RasterToVectorPoints
+    semantics named in BASELINE.json#north_star). Georeferencing mode
+    follows meta.pixel_is_area (raster.go:383-399): area pixels emit
+    cell CENTERS (half-cell offset); point pixels ARE the grid nodes
+    (row/col scale directly, spanning rows-1/cols-1 cells)."""
+    half = 0.5 if meta.pixel_is_area else 0.0
+    x = F.lit(meta.west) + (F.col("col") + F.lit(half)) * F.lit(meta.cellsize_x)
+    y = F.lit(meta.north) - (F.col("row") + F.lit(half)) * F.lit(meta.cellsize_y)
     return grid.select(x.alias("x"), y.alias("y"), F.col("value"))
 
 
 def vector_points_to_raster(points: DataFrame, meta,
                             agg: str = "max") -> DataFrame:
     """Point table -> long-form grid; cells aggregate colliding points
-    (VectorPointsToRaster semantics). Out-of-bounds points are dropped."""
-    row = F.floor((F.lit(meta.north) - F.col("y")) / F.lit(meta.cellsize_y))
-    col = F.floor((F.col("x") - F.lit(meta.west)) / F.lit(meta.cellsize_x))
+    (VectorPointsToRaster semantics). Out-of-bounds points are dropped.
+    pixel_is_area bins points into cell footprints; pixel-is-point
+    snaps to the nearest grid node (+0.5 before the floor)."""
+    snap = 0.0 if meta.pixel_is_area else 0.5
+    row = F.floor((F.lit(meta.north) - F.col("y")) / F.lit(meta.cellsize_y)
+                  + F.lit(snap))
+    col = F.floor((F.col("x") - F.lit(meta.west)) / F.lit(meta.cellsize_x)
+                  + F.lit(snap))
     df = points.select(row.cast("int").alias("row"),
                        col.cast("int").alias("col"), "value")
     df = df.where((F.col("row") >= 0) & (F.col("row") < meta.rows)

@@ -19,12 +19,16 @@ _OFFSETS = [(0, -1, 1), (1, 0, 1), (2, 1, 1), (3, 1, 0),
             (4, 1, -1), (5, 0, -1), (6, -1, -1), (7, -1, 0)]
 
 
-def _nb_cte(dem_sql: str) -> str:
+def _nb_cte(dem_sql: str, egr: str = "8.0", zconv: str | None = None) -> str:
     """CTE computing z plus N0..N7 (NoData/out-of-grid -> center z,
-    slope.go:208-215)."""
+    slope.go:208-215), gradients over eight-grid-res `egr`; `zconv`
+    (a SQL double expression) scales every substituted neighbor —
+    mirroring the kernel's scale-after-substitution order exactly."""
     vals = ", ".join(f"({n}, {dy}, {dx})" for n, dy, dx in _OFFSETS)
+    zmul = f" * {zconv}" if zconv is not None else ""
     ncols = ", ".join(
-        f"max(CASE WHEN o.n = {n} THEN COALESCE(x.value, c.value) END) AS n{n}"
+        f"max(CASE WHEN o.n = {n} THEN COALESCE(x.value, c.value) END)"
+        f"{zmul} AS n{n}"
         for n, _, _ in _OFFSETS)
     return f"""
     dem AS ({dem_sql}),
@@ -36,8 +40,8 @@ def _nb_cte(dem_sql: str) -> str:
       GROUP BY c.row, c.col, c.value),
     grad AS (
       SELECT row, col, z,
-             (n6 - n4 + 2 * (n7 - n3) + n0 - n2) / 8.0 AS fy,
-             (n2 - n4 + 2 * (n1 - n5) + n0 - n6) / 8.0 AS fx
+             (n6 - n4 + 2 * (n7 - n3) + n0 - n2) / {egr} AS fy,
+             (n2 - n4 + 2 * (n1 - n5) + n0 - n6) / {egr} AS fx
       FROM nb)
     """
 
@@ -45,6 +49,24 @@ def _nb_cte(dem_sql: str) -> str:
 def slope_sql(rows: int, cols: int) -> str:
     return f"""
     WITH {_nb_cte(synthetic_dem_sql(rows, cols))}
+    SELECT row, col,
+           round(atan(sqrt(fx * fx + fy * fy)) * (180.0 / pi()), 4) AS slope
+    FROM grad
+    """
+
+
+def slope_geographic_sql(rows: int, cols: int, meta) -> str:
+    """Slope over the same DEM re-georeferenced to a geographic CRS
+    (slope.go:168-175): neighbors scale by zConvFactor =
+    1/(113200*cos(midLat)) with the reference's verbatim
+    midLat = (north-south)/2 quirk, gradients over
+    8*mean_cellsize-degree grid res. The two constants are computed
+    once in NumPy and injected bit-exact (same np.cos the kernel
+    uses), so no cross-libm drift enters before the final round."""
+    egr = f"CAST('{float(8.0 * meta.mean_cellsize)!r}' AS DOUBLE)"
+    zc = f"CAST('{float(meta.z_conv_factor)!r}' AS DOUBLE)"
+    return f"""
+    WITH {_nb_cte(synthetic_dem_sql(rows, cols), egr=egr, zconv=zc)}
     SELECT row, col,
            round(atan(sqrt(fx * fx + fy * fy)) * (180.0 / pi()), 4) AS slope
     FROM grad
