@@ -246,6 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: textstats.lang_id(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: textstats.fingerprint(_docs(spark, sf))
 
+    # --- multimodal binary columns (stub codec, real Arrow plumbing) ---
+    from go_spatial_spark.operators import multimodal
+    q["multimodal_featurize"] = lambda spark, sf: \
+        multimodal.decode_and_featurize(
+            multimodal.synthetic_media(spark, _docs(spark, sf)))
+
     # --- web-corpus curation (host accounting / sampling / filtering) ---
     from go_spatial_spark.operators import webcurate
     q["host_stats"] = lambda spark, sf: webcurate.host_stats(_docs(spark, sf))
@@ -392,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
     o["quality_score"] = textstats.quality_score_oracle_sql()
     o["lang_id"] = textstats.lang_id_oracle_sql()
     o["fingerprint"] = textstats.fingerprint_oracle_sql()
+    from go_spatial_spark.operators import multimodal
+    o["multimodal_featurize"] = multimodal.featurize_oracle_sql()
     from go_spatial_spark.operators import webcurate
     o["host_stats"] = webcurate.host_stats_oracle_sql()
     o["quota_sample"] = webcurate.quota_sample_oracle_sql()

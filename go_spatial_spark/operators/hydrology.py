@@ -1108,30 +1108,26 @@ def _tile_flood(dem_t: np.ndarray, w_t: np.ndarray,
     valid = dem_t != nodata
     W = w_t.copy()
     INF = np.float64(1e308)
-    heap = []
-    pad_valid = np.full((h + 2, w + 2), False)
-    pad_valid[1:-1, 1:-1] = valid
     pad_vals = halo_pad.copy()
     pad_vals[1:-1, 1:-1] = np.where(valid, dem_t, nodata)
-    # edge seeds: any 8-neighbor NoData (internal, cross-tile, off-grid)
-    for r in range(h):
-        for c in range(w):
-            if not valid[r, c]:
-                continue
-            edge = False
-            for n in range(8):
-                if pad_vals[1 + r + DY[n], 1 + c + DX[n]] == nodata:
-                    edge = True
-                    break
-            if edge and dem_t[r, c] < W[r, c]:
-                W[r, c] = dem_t[r, c]
-            if edge:
-                heapq.heappush(heap, (W[r, c], r, c))
+    # edge seeds: any 8-neighbor NoData (internal, cross-tile,
+    # off-grid) — vectorized via the 8 shifted views of pad_vals
+    edge = np.zeros((h, w), dtype=bool)
+    for n in range(8):
+        edge |= pad_vals[1 + DY[n]:1 + DY[n] + h,
+                         1 + DX[n]:1 + DX[n] + w] == nodata
+    edge &= valid
+    lower = edge & (dem_t < W)
+    W[lower] = dem_t[lower]
+    er, ec = np.nonzero(edge)
+    heap = [(W[er[i], ec[i]], int(er[i]), int(ec[i]))
+            for i in range(len(er))]
     # halo seeds: neighbor-tile W estimates already below +inf
     hr, hc = np.nonzero((halo_pad != nodata) & (halo_pad < INF))
-    for i in range(len(hr)):
-        heapq.heappush(heap, (float(halo_pad[hr[i], hc[i]]),
-                              int(hr[i]) - 1, int(hc[i]) - 1))
+    heap.extend((float(halo_pad[hr[i], hc[i]]),
+                 int(hr[i]) - 1, int(hc[i]) - 1)
+                for i in range(len(hr)))
+    heapq.heapify(heap)
     while heap:
         wv, r, c = heapq.heappop(heap)
         for n in range(8):

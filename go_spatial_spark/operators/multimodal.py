@@ -58,9 +58,18 @@ def _fake_decode(payload: bytes, width: int, height: int,
 
 
 def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
-    """media -> per-item features (mean/std per channel, phash-style
-    64-bit signature). One Arrow batch per partition; no per-row
-    Python outside the (stubbed) codec call."""
+    """media -> per-item features: per-channel mean (mean_c0), overall
+    mean (mean_all) and a 60-bit aHash signature from the 8x8 block
+    thumbnail. One Arrow batch per partition; no per-row Python
+    outside the (stubbed) codec call.
+
+    The feature math is integer-exact by construction so the DuckDB
+    oracle matches bitwise with no rounding: every statistic reduces
+    to sums of uint8 values (order-free exact in float64/int64), a
+    single final IEEE division, and the aHash threshold compares
+    64*block_sum > total_sum in pure integers (equivalent to
+    block_mean > mean(block_means) since every 8x8 block of the
+    cropped thumbnail has the same pixel count)."""
     if not fake:
         raise NotImplementedError(
             "real image/audio codecs are not available in this "
@@ -71,28 +80,93 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
             rows = []
             for t in pdf.itertuples(index=False):
                 m = t.meta
-                arr = _fake_decode(bytes(t.payload), int(m["width"]),
-                                   int(m["height"]), int(m["channels"]))
-                means = arr.mean(axis=(0, 1))
-                # 60-bit signature from the coarse 8x8 gray thumbnail
-                gray = arr.mean(axis=2)
-                th = gray[: (gray.shape[0] // 8) * 8,
-                          : (gray.shape[1] // 8) * 8]
-                if th.size == 0:
-                    sig = 0
-                else:
-                    blocks = th.reshape(8, th.shape[0] // 8,
-                                        8, th.shape[1] // 8).mean(axis=(1, 3))
-                    bits = (blocks > np.median(blocks)).ravel()[:60]
-                    sig = int(sum(int(b) << i for i, b in enumerate(bits)))
+                w, h = int(m["width"]), int(m["height"])
+                arr = _fake_decode(bytes(t.payload), w, h,
+                                   int(m["channels"]))
+                ch_sums = arr.reshape(-1, arr.shape[2]) \
+                    .astype(np.int64).sum(axis=0)
+                n_pix = w * h
+                means = ch_sums / float(n_pix)
+                mean_all = ((means[0] + means[1]) + means[2]) / 3.0
+                # 60-bit aHash from the 8x8 block sums of the
+                # channel-sum "gray" plane (integer threshold)
+                gray = arr.astype(np.int64).sum(axis=2)
+                h8, w8 = gray.shape[0] // 8, gray.shape[1] // 8
+                th = gray[: h8 * 8, : w8 * 8]
+                S = th.reshape(8, h8, 8, w8).sum(axis=(1, 3))
+                bits = (64 * S > S.sum()).ravel()[:60]
+                sig = int(sum(int(b) << i for i, b in enumerate(bits)))
                 rows.append((t.doc_id, t.kind, float(means[0]),
-                             float(means.mean()), sig))
+                             float(mean_all), sig))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "kind", "mean_c0", "mean_all", "phash"])
 
     return media.mapInPandas(
         run, schema=("doc_id long, kind string, mean_c0 double, "
                      "mean_all double, phash long"))
+
+
+def featurize_oracle_sql(docs_tbl: str = "documents") -> str:
+    """DuckDB replica of synthetic_media + _fake_decode +
+    decode_and_featurize: flattened byte index i of the (H, W, C=3)
+    fake image has value md5(text)[i % 16] (the md5-seeded repeating
+    byte pattern), channel = i % 3, pixel = i // 3. All aggregates are
+    integer sums; divisions mirror the kernel's exact order."""
+    # max W*H*C: (63+16)*(47+16)*3 < 80*64*3
+    cap = 80 * 64 * 3
+    byte = ("('0x' || substring(hx, CAST(2 * (i % 16) AS INT) + 1, 2))"
+            "::INT")
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             md5(text) AS hx,
+             CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+             CAST(doc_id % 48 + 16 AS BIGINT) AS h
+      FROM {docs_tbl}),
+    pos AS (
+      SELECT m.*, t.i, {byte} AS val,
+             CAST(i % 3 AS INT) AS chan,
+             (i // 3) // w AS pr, (i // 3) % w AS pc
+      FROM m CROSS JOIN range(0, {cap}) t(i)
+      WHERE t.i < m.w * m.h * 3),
+    chans AS (
+      SELECT doc_id, kind, w, h, chan, sum(val) AS s
+      FROM pos GROUP BY doc_id, kind, w, h, chan),
+    chan_means AS (
+      SELECT doc_id, kind,
+             max(CASE WHEN chan = 0 THEN s END) / CAST(w * h AS DOUBLE)
+               AS m0,
+             max(CASE WHEN chan = 1 THEN s END) / CAST(w * h AS DOUBLE)
+               AS m1,
+             max(CASE WHEN chan = 2 THEN s END) / CAST(w * h AS DOUBLE)
+               AS m2
+      FROM chans GROUP BY doc_id, kind, w, h),
+    gray AS (
+      SELECT doc_id, w, h, pr, pc, sum(val) AS g
+      FROM pos GROUP BY doc_id, w, h, pr, pc),
+    blocks AS (
+      SELECT doc_id, (pr // (h // 8)) AS br, (pc // (w // 8)) AS bc,
+             sum(g) AS sb
+      FROM gray
+      WHERE pr < (h // 8) * 8 AND pc < (w // 8) * 8
+      GROUP BY doc_id, (pr // (h // 8)), (pc // (w // 8))),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN 64 * sb > tot AND br * 8 + bc < 60
+                           THEN (CAST(1 AS BIGINT)
+                                 << CAST(br * 8 + bc AS INT))
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM (SELECT doc_id, br, bc, sb,
+                   SUM(sb) OVER (PARTITION BY doc_id) AS tot
+            FROM blocks) b
+      GROUP BY doc_id)
+    SELECT c.doc_id, c.kind, c.m0 AS mean_c0,
+           ((c.m0 + c.m1) + c.m2) / 3.0 AS mean_all, s.phash
+    FROM chan_means c JOIN sig s ON s.doc_id = c.doc_id
+    """
 
 
 def resize_stub(media: DataFrame, width: int, height: int,
