@@ -31,7 +31,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_spatial_spark.grid import NODATA, RasterMeta
 
@@ -52,6 +52,30 @@ def _long_form(spark: SparkSession, arr: np.ndarray, nodata: float,
                         "col": cc.astype(np.int32),
                         "value": arr[mask].astype(np.float64)})
     return spark.createDataFrame(pdf)
+
+
+# Driver-assembly ceiling for single-file sinks: 64M cells = a 512 MB
+# float64 plane. Beyond it the driver-side toPandas would OOM; the
+# .tif path falls through to the distributed strip writer, other
+# formats raise (their production sink is Parquet).
+MAX_DRIVER_CELLS = 64_000_000
+
+
+def _assemble_driver(df: DataFrame, meta: RasterMeta,
+                     max_cells: int = MAX_DRIVER_CELLS) -> np.ndarray:
+    """Collect a long-form raster into a dense driver-side array —
+    the fixture-parity path, guarded so a big CLI job fails loudly
+    instead of melting the driver."""
+    n_cells = meta.rows * meta.cols
+    if n_cells > max_cells:
+        raise ValueError(
+            f"raster {meta.rows}x{meta.cols} = {n_cells} cells exceeds "
+            f"the driver-assembly ceiling ({max_cells}); use "
+            f"write_geotiff_distributed or the Parquet sink")
+    pdf = df.toPandas()
+    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
+    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    return arr
 
 
 def _read_binary_distributed(spark: SparkSession, path: str, decode_fn,
@@ -117,9 +141,7 @@ def write_whitebox(df: DataFrame, meta: RasterMeta, dep_path: str,
     """Write long form to .dep/.tas (single-file sink: assembled on the
     driver — a fixture-parity path, not the 100 TB sink, which is
     df.write.parquet)."""
-    pdf = df.toPandas()
-    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
-    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    arr = _assemble_driver(df, meta)
     valid = arr != meta.nodata
     mn = float(arr[valid].min()) if valid.any() else 0.0
     mx = float(arr[valid].max()) if valid.any() else 0.0
@@ -171,9 +193,7 @@ def read_arcgis_ascii(spark: SparkSession, path: str):
 
 
 def write_arcgis_ascii(df: DataFrame, meta: RasterMeta, path: str) -> None:
-    pdf = df.toPandas()
-    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
-    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    arr = _assemble_driver(df, meta)
     with open(path, "w") as f:
         f.write(f"ncols {meta.cols}\nnrows {meta.rows}\n"
                 f"xllcorner {meta.west}\nyllcorner {meta.south}\n"
@@ -208,9 +228,7 @@ def read_grass_ascii(spark: SparkSession, path: str):
 
 
 def write_grass_ascii(df: DataFrame, meta: RasterMeta, path: str) -> None:
-    pdf = df.toPandas()
-    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
-    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    arr = _assemble_driver(df, meta)
     with open(path, "w") as f:
         f.write(f"north: {meta.north}\nsouth: {meta.south}\n"
                 f"east: {meta.east}\nwest: {meta.west}\n"
@@ -251,9 +269,7 @@ def read_arcgis_binary(spark: SparkSession, hdr_path: str):
 
 def write_arcgis_binary(df: DataFrame, meta: RasterMeta,
                         hdr_path: str) -> None:
-    pdf = df.toPandas()
-    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
-    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    arr = _assemble_driver(df, meta)
     with open(hdr_path, "w") as f:
         f.write(f"NCOLS {meta.cols}\nNROWS {meta.rows}\n"
                 f"XLLCORNER {meta.west}\nYLLCORNER {meta.south}\n"
@@ -296,9 +312,7 @@ def read_idrisi(spark: SparkSession, rdc_path: str):
 
 def write_idrisi(df: DataFrame, meta: RasterMeta, rdc_path: str,
                  data_type: str = "real") -> None:
-    pdf = df.toPandas()
-    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype=np.float64)
-    arr[pdf["row"], pdf["col"]] = pdf["value"]
+    arr = _assemble_driver(df, meta)
     valid = arr != meta.nodata
     mn = float(arr[valid].min()) if valid.any() else 0.0
     mx = float(arr[valid].max()) if valid.any() else 0.0
@@ -372,6 +386,17 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _decode_tag_value(bo: str, typ: int, cnt: int, raw: bytes):
+    fmt = {1: "B", 3: "H", 4: "I", 5: "II", 8: "h", 9: "i",
+           11: "f", 12: "d", 16: "Q", 17: "q", 2: None, 7: None}.get(typ)
+    if fmt is None:
+        return raw
+    if typ == 5:
+        vals = struct.unpack(bo + "II" * cnt, raw)
+        return [vals[2 * j] / vals[2 * j + 1] for j in range(cnt)]
+    return list(struct.unpack(bo + fmt * cnt, raw))
+
+
 def _parse_tiff_ifd(buf: bytes):
     """Parse the first IFD -> (byte_order, {tag: decoded_value})."""
     bo = "<" if buf[:2] == b"II" else ">"
@@ -388,15 +413,34 @@ def _parse_tiff_ifd(buf: bytes):
         else:
             ptr = struct.unpack(bo + "I", e[8:12])[0]
             raw = buf[ptr:ptr + size]
-        fmt = {1: "B", 3: "H", 4: "I", 5: "II", 8: "h", 9: "i",
-               11: "f", 12: "d", 16: "Q", 17: "q", 2: None, 7: None}.get(typ)
-        if fmt is None:
-            tags[tag] = raw
-        elif typ == 5:
-            vals = struct.unpack(bo + "II" * cnt, raw)
-            tags[tag] = [vals[2 * j] / vals[2 * j + 1] for j in range(cnt)]
-        else:
-            tags[tag] = list(struct.unpack(bo + fmt * cnt, raw))
+        tags[tag] = _decode_tag_value(bo, typ, cnt, raw)
+    return bo, tags
+
+
+def _parse_tiff_ifd_seek(path: str):
+    """Header-only IFD parse with range reads (seek + read of the
+    entry table and out-of-line values) — never loads the payload, so
+    the driver's work is O(header) however large the file is."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        bo = "<" if head[:2] == b"II" else ">"
+        magic, off = struct.unpack(bo + "HI", head[2:8])
+        assert magic == 42, "classic TIFF only"
+        f.seek(off)
+        n = struct.unpack(bo + "H", f.read(2))[0]
+        entries = f.read(12 * n)
+        tags = {}
+        for i in range(n):
+            e = entries[12 * i:12 * i + 12]
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            size = _TIFF_SIZES.get(typ, 1) * cnt
+            if size <= 4:
+                raw = e[8:8 + size]
+            else:
+                ptr = struct.unpack(bo + "I", e[8:12])[0]
+                f.seek(ptr)
+                raw = f.read(size)
+            tags[tag] = _decode_tag_value(bo, typ, cnt, raw)
     return bo, tags
 
 
@@ -410,19 +454,9 @@ def geotiff_tags(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "tag int, value string")
 
 
-def read_geotiff(spark: SparkSession, path: str):
-    """Pure-NumPy GeoTIFF reader: gray single-band (u/i/f 8-64 bit),
-    RGB/RGBA 8/16-bit and 8-bit paletted photometric modes (pixels
-    packed to float64((a<<24)|(r<<16)|(g<<8)|b), 16-bit channels
-    truncation-rescaled to 8 — geotiff.go:895-990, palette
-    construction geotiff.go:592-613), strips or tiles, compression
-    none(1)/LZW(5)/deflate(8/32946), horizontal predictor,
-    GDAL_NODATA, ModelTiepoint + ModelPixelScale georeferencing."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    bo, tags = _parse_tiff_ifd(buf)
-    width = tags[256][0]
-    height = tags[257][0]
+def _tiff_decoder(bo: str, tags: dict):
+    """-> (decode(raw, hh, ww) -> float64 block, nodata). The callable
+    closes over only small header state, so it ships to executors."""
     bits = tags.get(258, [8])[0]
     comp = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
@@ -460,8 +494,9 @@ def read_geotiff(spark: SparkSession, path: str):
             return zlib.decompress(seg)
         raise NotImplementedError(f"TIFF compression {comp}")
 
-    def decode_block(raw: bytes, hh: int, ww: int) -> np.ndarray:
-        """One strip/tile payload -> float64 (hh, ww) values."""
+    def decode_block(seg: bytes, hh: int, ww: int) -> np.ndarray:
+        """One compressed strip/tile payload -> float64 (hh, ww)."""
+        raw = decomp(seg)
         if photometric == 3:
             idx = np.frombuffer(raw, dtype=np.uint8,
                                 count=hh * ww).reshape(hh, ww)
@@ -485,27 +520,34 @@ def read_geotiff(spark: SparkSession, path: str):
             data = data.cumsum(axis=1, dtype=data.dtype)
         return data
 
-    arr = np.zeros((height, width), dtype=np.float64)
+    return decode_block, nodata
+
+
+def _tiff_blocks(tags: dict) -> list[tuple[int, int, int, int, int, int]]:
+    """Strip/tile index from the header alone:
+    [(y0, x0, hh, ww, file_offset, byte_count)]."""
+    width, height = tags[256][0], tags[257][0]
+    blocks = []
     if 322 in tags:  # tiled
         tw, th = tags[322][0], tags[323][0]
-        offs, cnts = tags[324], tags[325]
         per_row = (width + tw - 1) // tw
-        for idx, (o, c) in enumerate(zip(offs, cnts)):
-            data = decode_block(decomp(buf[o:o + c]), th, tw)
+        for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
             ty, tx = idx // per_row, idx % per_row
             y0, x0 = ty * th, tx * tw
-            hh = min(th, height - y0)
-            ww = min(tw, width - x0)
-            arr[y0:y0 + hh, x0:x0 + ww] = data[:hh, :ww]
+            blocks.append((y0, x0, th, tw, o, c))
     else:  # strips
         rps = tags.get(278, [height])[0]
-        offs, cnts = tags[273], tags[279]
         y = 0
-        for o, c in zip(offs, cnts):
+        for o, c in zip(tags[273], tags[279]):
             hh = min(rps, height - y)
-            arr[y:y + hh] = decode_block(decomp(buf[o:o + c]), hh, width)
+            blocks.append((y, 0, hh, width, o, c))
             y += hh
+    return blocks
+
+
+def _tiff_meta(tags: dict, nodata: float) -> RasterMeta:
     # georeferencing: ModelTiepoint (33922) + ModelPixelScale (33550)
+    width, height = tags[256][0], tags[257][0]
     west = north = 0.0
     csx = csy = 1.0
     if 33550 in tags and 33922 in tags:
@@ -513,10 +555,82 @@ def read_geotiff(spark: SparkSession, path: str):
         tp = tags[33922]
         west = tp[3] - tp[0] * csx
         north = tp[4] + tp[1] * csy
-    meta = RasterMeta(rows=height, cols=width, north=north,
+    return RasterMeta(rows=height, cols=width, north=north,
                       south=north - height * csy, east=west + width * csx,
                       west=west, nodata=nodata)
-    return meta, _long_form(spark, arr, nodata)
+
+
+def read_geotiff(spark: SparkSession, path: str):
+    """Pure-NumPy GeoTIFF reader: gray single-band (u/i/f 8-64 bit),
+    RGB/RGBA 8/16-bit and 8-bit paletted photometric modes (pixels
+    packed to float64((a<<24)|(r<<16)|(g<<8)|b), 16-bit channels
+    truncation-rescaled to 8 — geotiff.go:895-990, palette
+    construction geotiff.go:592-613), strips or tiles, compression
+    none(1)/LZW(5)/deflate(8/32946), horizontal predictor,
+    GDAL_NODATA, ModelTiepoint + ModelPixelScale georeferencing.
+
+    Whole-file driver decode (fixture path); the production scan is
+    read_geotiff_distributed (block-parallel)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    bo, tags = _parse_tiff_ifd(buf)
+    width, height = tags[256][0], tags[257][0]
+    decode_block, nodata = _tiff_decoder(bo, tags)
+    arr = np.zeros((height, width), dtype=np.float64)
+    for y0, x0, hh, ww, o, c in _tiff_blocks(tags):
+        data = decode_block(buf[o:o + c], hh, ww)
+        h2 = min(hh, height - y0)
+        w2 = min(ww, width - x0)
+        arr[y0:y0 + h2, x0:x0 + w2] = data[:h2, :w2]
+    return _tiff_meta(tags, nodata), _long_form(spark, arr, nodata)
+
+
+def read_geotiff_distributed(spark: SparkSession, path: str,
+                             blocks_per_task: int | None = None):
+    """Block-parallel GeoTIFF scan: the driver does an O(header) IFD
+    parse (range reads only), fans the strip/tile index out as one row
+    per block group, and each task range-reads + decodes its own
+    byte spans — a single large GeoTIFF no longer decodes on one core
+    (SURVEY §2.1's tile-per-task production read). Strips with
+    predictor are row-independent, tiles are self-contained, so blocks
+    decode without neighbors. Requires the path to be visible from
+    executors (shared/posix storage — true in local mode and on any
+    cluster filesystem)."""
+    bo, tags = _parse_tiff_ifd_seek(path)
+    width, height = tags[256][0], tags[257][0]
+    decode_block, nodata = _tiff_decoder(bo, tags)
+    blocks = _tiff_blocks(tags)
+    if blocks_per_task is None:
+        target = 4 * spark.sparkContext.defaultParallelism
+        blocks_per_task = max(1, len(blocks) // max(target, 1))
+    groups = [blocks[i:i + blocks_per_task]
+              for i in range(0, len(blocks), blocks_per_task)]
+    gdf = spark.createDataFrame(
+        [(i,) for i in range(len(groups))], "gid int") \
+        .repartition(len(groups), "gid")
+    bgroups = spark.sparkContext.broadcast(groups)
+
+    def run(it):
+        for pdf in it:
+            for gid in pdf["gid"].to_numpy():
+                outs = []
+                with open(path, "rb") as f:
+                    for y0, x0, hh, ww, o, c in bgroups.value[int(gid)]:
+                        f.seek(o)
+                        data = decode_block(f.read(c), hh, ww)
+                        h2 = min(hh, height - y0)
+                        w2 = min(ww, width - x0)
+                        data = data[:h2, :w2]
+                        rr, cc = np.nonzero(data != nodata)
+                        outs.append(pd.DataFrame({
+                            "row": (rr + y0).astype(np.int32),
+                            "col": (cc + x0).astype(np.int32),
+                            "value": data[rr, cc]}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+    df = gdf.mapInPandas(run, schema="row int, col int, value double")
+    return _tiff_meta(tags, nodata), df
 
 
 # ---------------------------------------------------------------------------
@@ -611,6 +725,10 @@ def write_raster(df: DataFrame, meta: RasterMeta, path: str,
     if ext in (".dep", ".tas"):
         return write_whitebox(df, meta, os.path.splitext(path)[0] + ".dep")
     if ext in (".tif", ".tiff"):
+        # CLI-sized rasters assemble on the driver; big jobs take the
+        # distributed strip writer automatically (same bytes)
+        if meta.rows * meta.cols > MAX_DRIVER_CELLS:
+            return write_geotiff_distributed(df, meta, path)
         return write_geotiff(df, meta, path)
     if ext in (".rdc", ".rst"):
         return write_idrisi(df, meta, os.path.splitext(path)[0] + ".rdc")
@@ -629,14 +747,11 @@ def write_raster(df: DataFrame, meta: RasterMeta, path: str,
 # float64 samples, ModelTiepoint/PixelScale/GDAL_NODATA tags)
 # ---------------------------------------------------------------------------
 
-def write_geotiff(df: DataFrame, meta: RasterMeta, path: str) -> None:
-    """Single-file GeoTIFF sink (fixture-parity path; the production
-    sink is Parquet). Always strip-per-row, uncompressed, float64 —
-    the same layout choice as the reference writer (geotiff.go:83,
-    :256-268)."""
-    pdf = df.toPandas()
-    arr = np.full((meta.rows, meta.cols), meta.nodata, dtype="<f8")
-    arr[pdf["row"], pdf["col"]] = pdf["value"]
+def _geotiff_header(meta: RasterMeta) -> tuple[bytes, int]:
+    """IFD + out-of-line tag data for the strip-per-row uncompressed
+    float64 layout -> (header bytes, strips_start offset). Shared by
+    the driver and distributed writers so their files are
+    byte-identical."""
     rows, cols = meta.rows, meta.cols
     bo = "<"
     strip_bytes = cols * 8
@@ -691,15 +806,71 @@ def write_geotiff(df: DataFrame, meta: RasterMeta, path: str) -> None:
         (42113, 2, len(nodata_ascii), long_(nodata_off)),
     ]
     assert len(entries) == n_tags
+    head = bytearray()
+    head += b"II" + struct.pack(bo + "HI", 42, 8)
+    head += struct.pack(bo + "H", n_tags)
+    for tag, typ, cnt, val in sorted(entries):
+        head += struct.pack(bo + "HHI", tag, typ, cnt) \
+            + val.ljust(4, b"\x00")[:4]
+    head += struct.pack(bo + "I", 0)  # next-IFD pointer
+    head += bytes(overflow)
+    assert len(head) == strips_start
+    return bytes(head), strips_start
+
+
+def write_geotiff(df: DataFrame, meta: RasterMeta, path: str) -> None:
+    """Single-file GeoTIFF sink (fixture-parity path; the production
+    sink is Parquet). Always strip-per-row, uncompressed, float64 —
+    the same layout choice as the reference writer (geotiff.go:83,
+    :256-268). Driver-assembled, so guarded by MAX_DRIVER_CELLS; the
+    over-ceiling path is write_geotiff_distributed."""
+    arr = _assemble_driver(df, meta).astype("<f8")
+    head, _ = _geotiff_header(meta)
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack(bo + "HI", 42, 8))
-        f.write(struct.pack(bo + "H", n_tags))
-        for tag, typ, cnt, val in sorted(entries):
-            f.write(struct.pack(bo + "HHI", tag, typ, cnt)
-                    + val.ljust(4, b"\x00")[:4])
-        f.write(struct.pack(bo + "I", 0))  # next-IFD pointer
-        f.write(bytes(overflow))
+        f.write(head)
         f.write(arr.tobytes())
+
+
+def write_geotiff_distributed(df: DataFrame, meta: RasterMeta,
+                              path: str) -> None:
+    """Distributed strip writer: the driver writes only the O(rows)
+    header; every task range-writes its own rows' strips into the
+    shared file (strip-per-row layout makes row ranges disjoint, so
+    concurrent pwrite-style seek+write needs no coordination).
+    Produces a file byte-identical to write_geotiff. Requires the
+    path on storage visible to executors (local mode / cluster FS)."""
+    head, strips_start = _geotiff_header(meta)
+    with open(path, "wb") as f:
+        f.write(head)
+    cols, nodata = meta.cols, meta.nodata
+    strip_bytes = cols * 8
+    spark = df.sparkSession
+    # every grid row gets a strip (absent rows are all-NoData): the
+    # range frame left-joins the data and shuffles on row so one task
+    # owns each row completely
+    base = spark.range(meta.rows).select(
+        F.col("id").cast("int").alias("row")) \
+        .join(df.select("row", "col", "value"), "row", "left") \
+        .repartition(max(1, min(meta.rows,
+                                4 * spark.sparkContext.defaultParallelism)),
+                     "row")
+
+    def write_rows(it):
+        with open(path, "r+b") as f:
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                for row_id, grp in pdf.groupby("row"):
+                    a = np.full(cols, nodata, dtype="<f8")
+                    m = grp["col"].notna()
+                    if m.any():
+                        a[grp.loc[m, "col"].astype(int)] = \
+                            grp.loc[m, "value"]
+                    f.seek(strips_start + int(row_id) * strip_bytes)
+                    f.write(a.tobytes())
+        yield pd.DataFrame({"n": pd.Series([1], dtype="int64")})
+
+    base.mapInPandas(write_rows, schema="n long").count()
 
 
 def whitebox_to_geotiff(spark: SparkSession, dep_path: str,
