@@ -36,9 +36,19 @@ _RASTER_FORMATS = [
 # builder). Positions follow each tool's arg_descriptions; builders
 # convert the reference's arg convention (e.g. full filter sizes) to
 # the engine's kwargs (radii).
+def _meanfilter_args(a):
+    """meanFilter.go:104-122: filterSizeY DEFAULTS to filterSizeX.
+    Radii are floor(size/2) — the reference's own window bounds
+    (-halfFilter..+halfFilter, meanFilter.go:256-262; for even sizes
+    the Go tool panics on its dX/dY arrays sized filterSize^2, so the
+    loop-bound reading is the faithful non-crashing interpretation)."""
+    sx = _int(a, 0, 3)
+    sy = _int(a, 1, sx)
+    return {"rx": max(sx // 2, 0), "ry": max(sy // 2, 0)}
+
+
 _EXTRA_ARGS = {
-    "meanfilter": lambda a: {"rx": max((_int(a, 0, 3) - 1) // 2, 0),
-                             "ry": max((_int(a, 1, 3) - 1) // 2, 0)},
+    "meanfilter": _meanfilter_args,
     "deviationfrommean": lambda a: {"r": _int(a, 0, 8)},
     "deviationfrommeantraditional": lambda a: {"r": _int(a, 0, 8)},
     "differencefrommean": lambda a: {"r": _int(a, 0, 8)},
@@ -155,6 +165,22 @@ class Console:
             return None
         key = tool.name.lower()
         t0 = time.time()
+
+        # arg-count / input-existence validation (the reference prints
+        # 'no such file or directory' and keeps the console alive)
+        need = 2 if key == "whitebox2geotiff" else 1
+        if len(args) < need:
+            self.out(f"Tool arguments not specified for '{tool.name}'; "
+                     f"type 'toolargs {tool.name}' for the argument list")
+            return None
+        probe = self._abspath(args[0])
+        base = os.path.splitext(probe)[0]
+        if not os.path.exists(probe) and not (
+                os.path.exists(base + ".dep")
+                or os.path.exists(base + ".hdr")
+                or os.path.exists(base + ".rdc")):
+            self.out(f"open {probe}: no such file or directory")
+            return None
 
         if key in _FILE_TOOLS:
             if key == "printgeotifftags":
@@ -318,6 +344,9 @@ def main(argv=None) -> int:
                 line = input("Please enter a command: ")
             except EOFError:
                 break
-            if not con.dispatch(line):
-                break
+            try:
+                if not con.dispatch(line):
+                    break
+            except Exception as e:  # keep the console alive, like the
+                print(e)            # reference's error prints
     return 0

@@ -179,7 +179,10 @@ def elevation_percentile_maps(dem: np.ndarray, nodata: float,
     valid = dem != nodata
     mn = dem[valid].min()
     mx = dem[valid].max()
-    value_range = math.ceil(mx - mn)
+    # flat raster (range 0) guard: clamp to 1 so bin_size > 0 and every
+    # cell lands in bin 0 — consistently with the distributed path
+    # (where floor(x/0)=NULL would silently lump cells into the LAST bin)
+    value_range = max(math.ceil(mx - mn), 1)
     bin_size = value_range / float(HIGH_RES_BINS)
     idx = np.floor((dem[valid] - mn) / bin_size).astype(np.int64)
     idx[idx >= HIGH_RES_BINS] = HIGH_RES_BINS - 1
@@ -196,8 +199,8 @@ def elevation_percentile_maps_distributed(grid: DataFrame, nodata: float,
     Bit-identical to the NumPy path (same f64 expressions)."""
     v = grid.where(F.col("value") != nodata)
     mn, mx = v.agg(F.min("value"), F.max("value")).first()
-    value_range = math.ceil(mx - mn)
-    bin_size = value_range / float(HIGH_RES_BINS)
+    value_range = max(math.ceil(mx - mn), 1)  # flat-raster guard (see
+    bin_size = value_range / float(HIGH_RES_BINS)  # NumPy twin above)
     idx = F.floor((F.col("value") - F.lit(mn)) / F.lit(bin_size)) \
         .cast("long")
     idx = F.least(idx, F.lit(HIGH_RES_BINS - 1))

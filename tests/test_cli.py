@@ -96,3 +96,48 @@ def test_main_flags(capsys):
     assert main(["-toolargs", "MeanFilter"]) == 0
     out = capsys.readouterr().out
     assert "filter x" in out
+
+
+def test_run_error_handling(spark):
+    """Missing args / missing input keep the console alive with the
+    reference-style messages (no IndexError / FileNotFoundError)."""
+    con, lines = _console(spark)
+    assert con.run("slope", []) is None
+    assert any("arguments not specified" in ln for ln in lines)
+    lines.clear()
+    assert con.run("slope", ["/nope/missing.dep", "/tmp/out.tif"]) is None
+    assert any("no such file or directory" in ln for ln in lines)
+    lines.clear()
+    assert con.dispatch("run slope")  # REPL path, no args at all
+    assert any("arguments not specified" in ln for ln in lines)
+
+
+def test_meanfilter_y_defaults_to_x():
+    """meanFilter.go:115: filterSizeY defaults to filterSizeX."""
+    from go_spatial_spark.cli import _EXTRA_ARGS
+    f = _EXTRA_ARGS["meanfilter"]
+    assert f(["7"]) == {"rx": 3, "ry": 3}
+    assert f(["7", "3"]) == {"rx": 3, "ry": 1}
+    assert f([]) == {"rx": 1, "ry": 1}
+    assert f(["1"]) == {"rx": 0, "ry": 0}
+
+
+def test_elevation_percentile_flat_raster(spark):
+    """Flat raster (range 0): both prep paths agree (bin 0, no NULL
+    lumping into the last bin) instead of diverging."""
+    from go_spatial_spark.operators import window_stats as WS
+    flat = np.full((10, 10), 5.0)
+    mn, bs, bn, vp = WS.elevation_percentile_maps(flat, NODATA, 10)
+    assert bs > 0
+    from pyspark.sql import functions as F
+    grid = spark.range(100).select(
+        (F.col("id") / 10).cast("int").alias("row"),
+        (F.col("id") % 10).cast("int").alias("col"),
+        F.lit(5.0).alias("value"))
+    mn2, bs2, bn2, vp2 = WS.elevation_percentile_maps_distributed(
+        grid, NODATA, 10)
+    assert (mn, bs) == (mn2, bs2)
+    assert np.array_equal(bn, bn2)
+    # val_prob is NaN on never-occupied high-res bins (0/0) in BOTH
+    # paths — the maps are only ever indexed at occupied bins
+    assert np.array_equal(vp, vp2, equal_nan=True)
