@@ -70,14 +70,60 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
     return spark
 
 
+def _parse_bytes(v: str) -> int:
+    """'134217728b' / '128m' / '1g' -> bytes."""
+    v = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if v.endswith(suf):
+            v = v[: -len(suf)]
+            mult = m
+            break
+    return int(float(v)) * mult
+
+
+def _estimated_scan_partitions(spark, files) -> int | None:
+    """Split count the file scan will produce, from driver-side file
+    stats alone (ceil(size/maxPartitionBytes) per file). None when the
+    files aren't cheaply stat-able (non-local storage)."""
+    import math
+    try:
+        mpb = _parse_bytes(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"))
+    except Exception:
+        mpb = 128 << 20
+    total = 0
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else (
+            f if f.startswith("/") else None)
+        if p is None or not os.path.exists(p):
+            return None
+        total += max(1, math.ceil(os.path.getsize(p) / mpb))
+    return total
+
+
 def ensure_parallelism(df, min_parts: int | None = None):
     """Spread a DataFrame across the cluster if its scan produced too
     few partitions (small local files read as one split; at production
     scale the scan itself yields thousands). Cheap no-op when already
     parallel — this guards the fan-out operators (explode-heavy dedup /
-    hashing) whose map-side work would otherwise serialize."""
+    hashing) whose map-side work would otherwise serialize.
+
+    The partition count comes from driver-side file stats
+    (inputFiles + size/maxPartitionBytes), NOT df.rdd — the RDD
+    conversion forces a full plan analysis per call, measurable
+    planning overhead on hot small queries; the RDD path remains only
+    as the fallback for non-file-backed frames."""
     spark = df.sparkSession
     want = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    est = _estimated_scan_partitions(spark, files) if files else None
+    parts = est if est is not None else df.rdd.getNumPartitions()
+    if parts < want:
         return df.repartition(want)
     return df
