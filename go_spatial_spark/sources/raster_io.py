@@ -51,7 +51,9 @@ def _long_form(spark: SparkSession, arr: np.ndarray, nodata: float,
     pdf = pd.DataFrame({"row": rr.astype(np.int32),
                         "col": cc.astype(np.int32),
                         "value": arr[mask].astype(np.float64)})
-    return spark.createDataFrame(pdf)
+    # explicit schema: an all-NoData raster yields ZERO rows, and
+    # schema inference cannot handle an empty frame
+    return spark.createDataFrame(pdf, schema="row int, col int, value double")
 
 
 # Driver-assembly ceiling for single-file sinks: 64M cells = a 512 MB
