@@ -147,6 +147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["diff_from_mean"] = lambda spark, sf: WS.diff_from_mean(
         synthetic_dem(spark, GRID_ROWS, GRID_COLS), GRID_ROWS, GRID_COLS, r=8)
+    # the reference's own brute-force oracle tool as a first-class
+    # Catalyst query (exploded-offset equi-join; independent of the
+    # integral-image kernel that answers dev_from_mean)
+    q["dev_from_mean_traditional"] = lambda spark, sf: \
+        WS.dev_from_mean_traditional(
+            synthetic_dem(spark, GRID_ROWS, GRID_COLS), r=8)
 
     def elev_pct_q(spark: SparkSession, sf: str) -> DataFrame:
         from go_spatial_spark.grid import synthetic_dem_numpy, NODATA
@@ -262,10 +268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def emb(spark, sf):
         return spark.read.parquet(f"{sf}/embeddings.parquet")
-    q["cosine_topk"] = lambda spark, sf: similarity.cosine_topk(emb(spark, sf))
+    # n_centroids pinned (operators default to the sqrt(N) auto size;
+    # the DuckDB oracles are built with the same pinned quantizer)
+    q["cosine_topk"] = lambda spark, sf: similarity.cosine_topk(
+        emb(spark, sf), n_centroids=16)
     q["cosine_near_dup"] = lambda spark, sf: similarity.cosine_near_dup(
         emb(spark, sf))
-    q["ivf_topk"] = lambda spark, sf: similarity.ivf_topk(emb(spark, sf))
+    q["ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
+        emb(spark, sf), n_centroids=16)
     q["embed_lsh_pairs"] = lambda spark, sf: similarity.embed_lsh_pairs(
         emb(spark, sf))
 
@@ -353,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
     o["hillshade_trim"] = oracles.hillshade_trim_sql(GRID_ROWS, GRID_COLS)
     o["mean_filter"] = oracles.mean_filter_sql(GRID_ROWS, GRID_COLS, 2, 2)
     o["dev_from_mean"] = oracles.dev_from_mean_sql(GRID_ROWS, GRID_COLS, 8)
+    o["dev_from_mean_traditional"] = oracles.dev_from_mean_sql(
+        GRID_ROWS, GRID_COLS, 8)
     o["fill_holes"] = oracles.fill_holes_sql(GRID_ROWS, GRID_COLS)
     o["quantiles"] = quantiles_oracle_sql(
         synthetic_dem_sql(GRID_ROWS, GRID_COLS), num_bins=5)

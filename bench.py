@@ -61,6 +61,33 @@ def _replicate(df, reps: int, key: str):
         .drop("rep"))
 
 
+def _synthetic_vectors(spark, n: int, dim: int):
+    """Deterministic iid-looking embedding table (vec_id,
+    embedding: array<float>) via a vectorized SplitMix64-style
+    finalizer over (vec_id, dim index) — full-rank mixing, so LSH/IVF
+    bucket occupancy behaves like real data."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            i = np.arange(dim, dtype=np.uint64)[None, :]
+            with np.errstate(over="ignore"):
+                h = ids[:, None] * np.uint64(0x9E3779B97F4A7C15) \
+                    + (i + np.uint64(1)) * np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(30)
+                h *= np.uint64(0x94D049BB133111EB)
+                h ^= h >> np.uint64(27)
+            v = (h % np.uint64(2048)).astype(np.float32) / 512.0 - 2.0
+            yield pd.DataFrame({
+                "vec_id": pdf["id"].to_numpy(),
+                "embedding": list(v)})
+
+    return spark.range(n).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>")
+
+
 def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
     """One input GROUP of the N-vs-4N scaling measurement, selected by
     $SPARK_GRAFT_SCALE_GROUP (docs | raster). Groups run in separate
@@ -78,22 +105,35 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         docs10m = _replicate(docs, 2048, "doc_id") \
             .repartition(4 * cpus).cache()
         counts["n_docs"] = docs10m.count()
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        emb4 = _replicate(emb, 4, "vec_id").repartition(4 * cpus).cache()
-        counts["n_vecs"] = emb4.count()
+        # 128k-vector synthetic corpus: sized so the ANN DAG's
+        # per-stage COMPUTE (sqrt(N)-bucket matrix scoring + LSH pair
+        # refine) dominates its ~10 stages of fixed orchestration
+        # latency — at 8k vectors the wall time was pure scheduler
+        # overhead and measured flat across core counts. Vectors come
+        # from a SplitMix-style avalanche hash of (vec_id, dim):
+        # replicating the parquet vectors (even with affine-mod
+        # perturbations, which are low-rank in vec_id) leaves 64-deep
+        # duplicate LSH buckets -> 10^8 degenerate candidate pairs,
+        # measuring a pathology instead of the engine.
+        emb64 = _synthetic_vectors(spark, 128_000, 64) \
+            .repartition(4 * cpus).cache()
+        counts["n_vecs"] = emb64.count()
         pts = geocode(docs10m).select("doc_id", "lat", "lon").cache()
         pts.count()
         poly800 = synthetic_polygons(800)
         times["minhash_10M"] = _timed(
             "minhash_10M",
             lambda: dedup.minhash_signatures(docs10m).count(), trials=2)
+        times["simhash_10M"] = _timed(
+            "simhash_10M",
+            lambda: dedup.simhash(docs10m).count(), trials=2)
         times["pip_10M_800poly"] = _timed(
             "pip_10M_800poly",
             lambda: point_in_polygon(pts, spark, polygons=poly800).count(),
             trials=2)
-        times["cosine_topk_20k"] = _timed(
-            "cosine_topk_20k",
-            lambda: similarity.cosine_topk(emb4).count(), trials=2)
+        times["cosine_topk_128k"] = _timed(
+            "cosine_topk_128k",
+            lambda: similarity.cosine_topk(emb64).count(), trials=2)
     else:
         R = C = 16384
         T = 512
@@ -121,6 +161,18 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         times["dev_16384_r16"] = _timed(
             "dev_16384_r16", st(kernels.deviation_from_mean_kernel, 16,
                                 r=16, k=300.0), trials=3, warmups=2)
+
+        # plumbing probe: identical stencil DAG with an identity
+        # kernel — isolates the fixed Arrow/cogroup transfer floor
+        # from kernel COMPUTE, so BASELINE.md can report kernel-net
+        # scaling (what added executors actually buy) next to the
+        # end-to-end numbers
+        def noop_kernel(padded, halo, ctx):
+            h = padded.shape[0] - 2 * halo
+            w = padded.shape[1] - 2 * halo
+            return padded[halo:halo + h, halo:halo + w]
+        times["noop_16384"] = _timed(
+            "noop_16384", st(noop_kernel, 1), trials=3, warmups=2)
 
     total = round(sum(times.values()), 3)
     out = {"metric": f"scaling_{group}_wall_seconds", "value": total,

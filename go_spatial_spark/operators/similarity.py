@@ -66,7 +66,21 @@ _NORM2_SQL = ("list_reduce(list_transform({a}, "
               "(__x, __y) -> __x + __y)")
 
 
-def cosine_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+def _resolve_centroids(emb: DataFrame, n_centroids: int | None) -> int:
+    """IVF centroid count defaults to ~sqrt(N) (floor, min 16): bucket
+    size and bucket count then both grow as sqrt(N), so per-bucket
+    matrix work stays balanced and the scoring stage exposes O(sqrt(N))
+    parallel tasks at any corpus size (16 fixed buckets stop scaling
+    past 16 cores). Driver-contract queries pin 16 so the DuckDB
+    oracle sees the same quantizer."""
+    if n_centroids is not None:
+        return n_centroids
+    import math as _m
+    return max(16, _m.isqrt(max(emb.count(), 1)))
+
+
+def cosine_topk(emb: DataFrame, k: int = 5,
+                n_centroids: int | None = None,
                 nprobe: int = 2) -> DataFrame:
     """Self top-k by cosine over a bucketed ANN candidate set — the
     scale path (no driver corpus collect, no cross join).
@@ -91,20 +105,24 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     n_centroids-row quantizer is collected. The brute-force exactness
     baseline lives in cosine_topk_bruteforce (size-guarded)."""
     emb = ensure_parallelism(emb)
-    ivf_scored = _ivf_bucket_scored(emb, k, n_centroids, nprobe)
-    lsh = embed_lsh_pairs(emb, n_planes=LSH_PLANES,
-                          per_band=TOPK_LSH_PER_BAND)
-    lsh_cand = (lsh.select(F.col("a").alias("qid"), F.col("b").alias("nid"))
-                .unionByName(lsh.select(F.col("b").alias("qid"),
-                                        F.col("a").alias("nid"))))
-    qe = emb.select(F.col("vec_id").alias("qid"),
+    ranked = _ivf_assign(emb, _resolve_centroids(emb, n_centroids),
+                         nprobe)
+    ivf_scored = _ivf_bucket_scored_from(ranked, k, nprobe)
+    # LSH leg: band-mate pairs scored in ONE self-join exchange — the
+    # signature pass carries each vector's embedding + norm, so the
+    # join output feeds the Arrow cosine directly (no qe/ne lookup
+    # joins), and the union's distinct dedups both legs at once
+    sigs = _lsh_band_sigs(emb, LSH_PLANES, TOPK_LSH_PER_BAND, 64,
+                          with_vec=True)
+    l = sigs.select(F.col("vec_id").alias("qid"), "band", "sig",
                     F.col("embedding").alias("qe"),
-                    _norm_fold_arrow("embedding").alias("qn"))
-    ne = emb.select(F.col("vec_id").alias("nid"),
+                    F.col("norm").alias("qn"))
+    r = sigs.select(F.col("vec_id").alias("nid"), "band", "sig",
                     F.col("embedding").alias("ne"),
-                    _norm_fold_arrow("embedding").alias("nn"))
+                    F.col("norm").alias("nn"))
     cos = _dot_fold_arrow(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
-    lsh_scored = (lsh_cand.join(qe, "qid").join(ne, "nid")
+    lsh_scored = (l.join(r, ["band", "sig"])
+                  .where(F.col("qid") != F.col("nid"))
                   .select("qid", "nid", cos.alias("cos")))
     scored = ivf_scored.unionByName(lsh_scored).distinct()
     return _topk_window(scored, k)
@@ -273,15 +291,20 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
             for kk in range(d):
                 acc += vm[:, kk:kk + 1] * cm[None, :, kk].reshape(1, -1)
             cos = acc / (vn[:, None] * cn[None, :])
-            rows = []
-            for i in range(vm.shape[0]):
-                order = np.lexsort((ids, -cos[i]))[:nprobe]
-                for r, j in enumerate(order, 1):
-                    rows.append((int(pdf["vec_id"].iloc[i]),
-                                 pdf["embedding"].iloc[i],
-                                 int(ids[j]), r, float(vn[i])))
-            yield pd.DataFrame(rows, columns=["vec_id", "embedding",
-                                              "cid", "arn", "norm"])
+            # stable argsort of -cos == lexsort((ids, -cos)): the
+            # centroid axis is already ascending in cid, so ties
+            # resolve to the smallest cid — one vectorized sort for
+            # the whole batch instead of a per-row Python loop
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            nrow = vm.shape[0]
+            idx = np.repeat(np.arange(nrow), nprobe)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy()[idx],
+                "embedding": pdf["embedding"].to_numpy()[idx],
+                "cid": ids[order.ravel()],
+                "arn": np.tile(np.arange(1, nprobe + 1,
+                                         dtype=np.int32), nrow),
+                "norm": vn[idx]})
 
     return emb.select("vec_id", "embedding").mapInPandas(
         assign, schema=("vec_id long, embedding array<float>, cid long, "
@@ -290,12 +313,17 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
 
 def _ivf_bucket_scored(emb: DataFrame, k: int, n_centroids: int,
                        nprobe: int) -> DataFrame:
+    return _ivf_bucket_scored_from(
+        _ivf_assign(emb, n_centroids, nprobe), k, nprobe)
+
+
+def _ivf_bucket_scored_from(ranked: DataFrame, k: int,
+                            nprobe: int) -> DataFrame:
     """Distinct (qid, nid, cos) rows: per-bucket matrix scoring with a
     local top-k per (query, bucket) — the per-bucket local top-k is a
     superset of each query's global top-k contribution from that
     bucket, so <= nprobe*k rows per query reach the final merge. This
     is the O(bucket) matrix path, NOT a per-pair row explosion."""
-    ranked = _ivf_assign(emb, n_centroids, nprobe)
     buckets = ranked.where(F.col("arn") == 1).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
         "cid", F.col("norm").alias("nn"))
@@ -315,21 +343,27 @@ def _ivf_bucket_scored(emb: DataFrame, k: int, n_centroids: int,
         qm = np.stack(probe_pdf["qe"].to_numpy()).astype(np.float64)
         qn = probe_pdf["qn"].to_numpy()
         qids = probe_pdf["qid"].to_numpy()
-        nm = np.stack(member_pdf["ne"].to_numpy()).astype(np.float64)
-        nn = member_pdf["nn"].to_numpy()
-        nids = member_pdf["nid"].to_numpy()
+        # sort members by nid so a STABLE argsort of -cos reproduces
+        # the (cos DESC, nid ASC) tie-break — whole-bucket vectorized
+        morder = np.argsort(member_pdf["nid"].to_numpy(), kind="stable")
+        nm = np.stack(member_pdf["ne"].to_numpy()[morder]) \
+            .astype(np.float64)
+        nn = member_pdf["nn"].to_numpy()[morder]
+        nids = member_pdf["nid"].to_numpy()[morder]
         acc = np.zeros((qm.shape[0], nm.shape[0]))
         for kk in range(qm.shape[1]):
             acc += qm[:, kk:kk + 1] * nm[None, :, kk].reshape(1, -1)
         cos = acc / (qn[:, None] * nn[None, :])
-        rows = []
-        for i in range(qm.shape[0]):
-            mask = nids != qids[i]
-            order = np.lexsort((nids[mask], -cos[i, mask]))[:k]
-            for j in order:
-                rows.append((int(qids[i]), int(nids[mask][j]),
-                             float(cos[i, mask][j])))
-        return pd.DataFrame(rows, columns=["qid", "nid", "cos"])
+        cos_m = np.where(nids[None, :] == qids[:, None], -np.inf, cos)
+        kk_ = min(k, cos_m.shape[1])
+        order = np.argsort(-cos_m, axis=1, kind="stable")[:, :kk_]
+        sel_cos = np.take_along_axis(cos_m, order, axis=1)
+        valid = np.isfinite(sel_cos)
+        qrep = np.repeat(qids, kk_)
+        flat = valid.ravel()
+        return pd.DataFrame({"qid": qrep[flat],
+                             "nid": nids[order.ravel()][flat],
+                             "cos": sel_cos.ravel()[flat]})
 
     return (probes.groupBy("cid").cogroup(buckets.groupBy("cid"))
             .applyInPandas(bucket_score,
@@ -346,7 +380,8 @@ def _topk_window(scored: DataFrame, k: int) -> DataFrame:
                     F.col("rank").cast("int").alias("rank"), "cos"))
 
 
-def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+def ivf_topk(emb: DataFrame, k: int = 5,
+             n_centroids: int | None = None,
              nprobe: int = 2) -> DataFrame:
     """IVF ANN: centroids = embeddings of the n_centroids smallest
     vec_ids; every vector is assigned to its nearest centroid; queries
@@ -356,7 +391,8 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     precomputed norms — the shuffle-light ANN shape."""
     emb = ensure_parallelism(emb)
     return _topk_window(
-        _ivf_bucket_scored(emb, k, n_centroids, nprobe), k)
+        _ivf_bucket_scored(
+            emb, k, _resolve_centroids(emb, n_centroids), nprobe), k)
 
 
 def ivf_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
@@ -488,16 +524,25 @@ TOPK_LSH_PER_BAND = 16  # sparse bands for the top-k candidate leg
 
 def _plane_weight_spark(dim: int) -> str:
     """Deterministic hyperplane entry w(j, d) as an exact dyadic
-    rational — an LCG-style hash mapped to [-0.5, 0.5). All integer
-    intermediates stay < 2^53 so double and int64 agree; the identical
-    expression is emitted for DuckDB, so dot products (fixed fold
-    order) are bit-equal and the bucket bits match exactly."""
-    return (f"(CAST(((j * {dim} + d) * 2654435761) % 2147483648 AS DOUBLE)"
-            f" / 2147483648.0 - 0.5)")
+    rational in [-0.5, 0.5): a TWO-ROUND multiply/xor-shift hash of
+    t = j*dim + d. A single-round LCG here is a real defect, not a
+    nicety: consecutive t share the classic LCG lattice, adjacent
+    planes' weight vectors are near-shifts of each other, and their
+    sign bits correlate up to 0.7 — measured 200x-over-uniform bucket
+    occupancy (24.8M candidate pairs from 128k vectors where ~130k
+    are expected). The xor-shift between rounds breaks the lattice
+    (max plane-bit correlation drops to the iid-random level). All
+    integer intermediates stay < 2^62 so int64 and SQL BIGINT agree;
+    the same expression (DuckDB spelling: xor()) is emitted for the
+    oracle, so the fold dots and bucket bits match exactly."""
+    h1 = f"(((j * {dim} + d) * 2654435761) % 2147483648)"
+    h2 = f"((({h1} ^ shiftright({h1}, 15)) * 1597334677) % 2147483648)"
+    h3 = f"({h2} ^ shiftright({h2}, 13))"
+    return f"(CAST({h3} AS DOUBLE) / 2147483648.0 - 0.5)"
 
 
 def _lsh_band_sigs(emb: DataFrame, n_planes: int, per_band: int,
-                   dim: int) -> DataFrame:
+                   dim: int, with_vec: bool = False) -> DataFrame:
     """(vec_id, band, sig) rows: all plane dots in ONE Arrow pass —
     the fold runs feature-by-feature in NumPy (acc += x_d * w(j,d) in
     element order), bit-identical to the interpreted
@@ -509,7 +554,9 @@ def _lsh_band_sigs(emb: DataFrame, n_planes: int, per_band: int,
     n_bands = n_planes // per_band
     j = np.arange(n_planes, dtype=np.int64)[None, :]
     d = np.arange(dim, dtype=np.int64)[:, None]
-    wmat = (((j * dim + d) * 2654435761) % 2147483648).astype(np.float64) \
+    h1 = ((j * dim + d) * 2654435761) % 2147483648
+    h2 = ((h1 ^ (h1 >> 15)) * 1597334677) % 2147483648
+    wmat = (h2 ^ (h2 >> 13)).astype(np.float64) \
         / 2147483648.0 - 0.5  # (dim, n_planes)
 
     def sigs_fn(it):
@@ -526,14 +573,23 @@ def _lsh_band_sigs(emb: DataFrame, n_planes: int, per_band: int,
             packed = bits * shifts[None, :]
             sig = packed.reshape(em.shape[0], n_bands, per_band).sum(axis=2)
             vec = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame({
+            out = {
                 "vec_id": np.repeat(vec, n_bands),
                 "band": np.tile(np.arange(n_bands, dtype=np.int32),
                                 len(vec)),
-                "sig": sig.reshape(-1)})
+                "sig": sig.reshape(-1)}
+            if with_vec:
+                idx = np.repeat(np.arange(len(vec)), n_bands)
+                out["embedding"] = pdf["embedding"].to_numpy()[idx]
+                out["norm"] = np.sqrt(
+                    np.cumsum(em * em, axis=1)[:, -1])[idx]
+            yield pd.DataFrame(out)
 
+    schema = "vec_id long, band int, sig long"
+    if with_vec:
+        schema += ", embedding array<float>, norm double"
     return emb.select("vec_id", "embedding").mapInPandas(
-        sigs_fn, schema="vec_id long, band int, sig long")
+        sigs_fn, schema=schema)
 
 
 def embed_lsh_pairs(emb: DataFrame, n_planes: int = LSH_PLANES,
@@ -560,9 +616,12 @@ def embed_lsh_pairs_oracle_sql(emb_tbl: str = "embeddings",
                                n_planes: int = LSH_PLANES,
                                per_band: int = LSH_PER_BAND,
                                dim: int = 64) -> str:
-    # DuckDB's indexed lambda is 1-based -> d = i - 1
-    w = (f"(CAST((((j * {dim}) + (i - 1)) * 2654435761) % 2147483648 "
-         f"AS DOUBLE) / 2147483648.0 - 0.5)")
+    # DuckDB's indexed lambda is 1-based -> d = i - 1; DuckDB's ^ is
+    # POWER, so bitwise xor is the xor() function
+    h1 = f"((((j * {dim}) + (i - 1)) * 2654435761) % 2147483648)"
+    h2 = f"((xor({h1}, {h1} >> 15) * 1597334677) % 2147483648)"
+    h3 = f"(xor({h2}, {h2} >> 13))"
+    w = f"(CAST({h3} AS DOUBLE) / 2147483648.0 - 0.5)"
     return f"""
     WITH planes AS (SELECT range AS j FROM range(0, {n_planes})),
     dots AS (

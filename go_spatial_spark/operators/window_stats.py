@@ -151,6 +151,47 @@ def _diff_from_mean_core_sql(dem_sql: str, rows: int, cols: int,
     """
 
 
+def dev_from_mean_traditional(dem: DataFrame, r: int = 8) -> DataFrame:
+    """DeviationFromMeanTraditional — the reference's own brute-force
+    oracle tool (deviationFromMeanTraditionalMethod.go:174-299) as a
+    first-class Catalyst plan: the (2r+1)^2 window scan becomes an
+    exploded-offset EQUI-join (broadcast offsets, hash join on shifted
+    (row, col) keys — never a nested-loop range join), grouped per
+    cell. The integral-image edge quirk (global row 0 / col 0 never
+    contribute, deviationFromMean.go:300-330) is reproduced by the
+    nr>=1/nc>=1 join predicate. Exact cross-engine: window sums of the
+    dyadic-rational DEM are order-free exact (see module docstring).
+    """
+    spark = dem.sparkSession
+    mn, mx = dem.agg(F.min("value"), F.max("value")).first()
+    k = float(mn + (mx - mn) / 2.0)
+    w = 2 * r + 1
+    offs = spark.range(w * w).select(
+        ((F.col("id") / w).cast("int") - F.lit(r)).alias("dy"),
+        ((F.col("id") % w).cast("int") - F.lit(r)).alias("dx"))
+    c = dem.select(F.col("row").alias("r0"), F.col("col").alias("c0"),
+                   F.col("value").alias("z"))
+    n = dem.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
+                   F.col("value").alias("nv"))
+    j = (c.crossJoin(F.broadcast(offs))
+         .join(n, (F.col("nr") == F.col("r0") + F.col("dy"))
+               & (F.col("nc") == F.col("c0") + F.col("dx"))
+               & (F.col("nr") >= 1) & (F.col("nc") >= 1), "left"))
+    zz = F.col("nv") - F.lit(k)
+    g = (j.groupBy("r0", "c0", "z")
+         .agg(F.sum(zz).alias("s1"),
+              F.sum(zz * zz).alias("s2"),
+              F.count("nv").alias("cnt")))
+    v = (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("cnt")) \
+        / F.col("cnt")
+    dev = ((F.col("z") - F.lit(k)) - F.col("s1") / F.col("cnt")) \
+        / F.sqrt(v)
+    return g.select(
+        F.col("r0").alias("row"), F.col("c0").alias("col"),
+        F.when((F.col("cnt") > 0) & (v > 0), dev).otherwise(0.0)
+        .alias("dev"))
+
+
 def diff_from_mean(grid: DataFrame, rows: int, cols: int,
                    r: int = 8) -> DataFrame:
     """Spark implementation = the same SQL through Catalyst (window

@@ -850,26 +850,39 @@ def write_geotiff_distributed(df: DataFrame, meta: RasterMeta,
     # every grid row gets a strip (absent rows are all-NoData): the
     # range frame left-joins the data and shuffles on row so one task
     # owns each row completely
+    # sortWithinPartitions: a grid row's cells can span several Arrow
+    # batches of one partition; row-ordered batches let the writer
+    # keep exactly ONE strip buffer and flush it when the row id
+    # advances (without the sort, two partial writes of the same row
+    # would clobber each other)
     base = spark.range(meta.rows).select(
         F.col("id").cast("int").alias("row")) \
         .join(df.select("row", "col", "value"), "row", "left") \
         .repartition(max(1, min(meta.rows,
                                 4 * spark.sparkContext.defaultParallelism)),
-                     "row")
+                     "row") \
+        .sortWithinPartitions("row")
 
     def write_rows(it):
+        cur = {"id": None, "buf": None}
         with open(path, "r+b") as f:
+            def flush():
+                if cur["id"] is not None:
+                    f.seek(strips_start + int(cur["id"]) * strip_bytes)
+                    f.write(cur["buf"].tobytes())
             for pdf in it:
                 if pdf.empty:
                     continue
-                for row_id, grp in pdf.groupby("row"):
-                    a = np.full(cols, nodata, dtype="<f8")
+                for row_id, grp in pdf.groupby("row", sort=True):
+                    if row_id != cur["id"]:
+                        flush()
+                        cur["id"] = row_id
+                        cur["buf"] = np.full(cols, nodata, dtype="<f8")
                     m = grp["col"].notna()
                     if m.any():
-                        a[grp.loc[m, "col"].astype(int)] = \
+                        cur["buf"][grp.loc[m, "col"].astype(int)] = \
                             grp.loc[m, "value"]
-                    f.seek(strips_start + int(row_id) * strip_bytes)
-                    f.write(a.tobytes())
+            flush()
         yield pd.DataFrame({"n": pd.Series([1], dtype="int64")})
 
     base.mapInPandas(write_rows, schema="n long").count()

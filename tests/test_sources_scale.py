@@ -120,3 +120,27 @@ def test_distributed_geotiff_writer_byte_identical(spark, tmp_path):
     assert back.count() == dem.count()
     sym = back.exceptAll(dem).unionAll(dem.exceptAll(back))
     assert sym.count() == 0
+
+
+def test_distributed_writer_rows_spanning_batches(spark, tmp_path):
+    """A grid row whose cells span several Arrow batches must still
+    produce ONE complete strip (regression: unsorted batches caused
+    partial-strip clobbering)."""
+    from pyspark.sql import functions as F
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        R, C = 4, 350  # each row is 3.5 batches
+        meta = RasterMeta(rows=R, cols=C)
+        dem = spark.range(R * C).select(
+            (F.col("id") / C).cast("int").alias("row"),
+            (F.col("id") % C).cast("int").alias("col"),
+            (F.col("id") % 977).cast("double").alias("value"))
+        p1 = str(tmp_path / "a.tif")
+        p2 = str(tmp_path / "b.tif")
+        io.write_geotiff(dem, meta, p1)
+        io.write_geotiff_distributed(dem, meta, p2)
+        with open(p1, "rb") as f1, open(p2, "rb") as f2:
+            assert f1.read() == f2.read()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
