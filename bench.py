@@ -124,9 +124,15 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         times["minhash_10M"] = _timed(
             "minhash_10M",
             lambda: dedup.minhash_signatures(docs10m).count(), trials=2)
-        times["simhash_10M"] = _timed(
-            "simhash_10M",
-            lambda: dedup.simhash(docs10m).count(), trials=2)
+        # simhash explodes tokens x 60 bit-planes (~60x the row volume
+        # of minhash's gram explode) — sized at 320k docs so one run is
+        # ~90 core-seconds, not billions of rows
+        docs320k = _replicate(docs, 64, "doc_id") \
+            .repartition(4 * cpus).cache()
+        docs320k.count()
+        times["simhash_320k"] = _timed(
+            "simhash_320k",
+            lambda: dedup.simhash(docs320k).count(), trials=2)
         times["pip_10M_800poly"] = _timed(
             "pip_10M_800poly",
             lambda: point_in_polygon(pts, spark, polygons=poly800).count(),

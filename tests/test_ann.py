@@ -85,3 +85,26 @@ def test_ngram_df_cap_preserves_results_below_cap(spark, sf001):
     a = dedup.ngram_jaccard_top1(docs, df_cap=1000).collect()
     b = dedup.ngram_jaccard_top1(docs, df_cap=10**9).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_plane_weight_spellings_agree(spark):
+    """The three spellings of the hyperplane hash (NumPy in
+    _lsh_band_sigs, the Spark-SQL expression, the DuckDB oracle) must
+    stay bit-identical — this pins the NumPy<->Spark pair (the
+    NumPy<->DuckDB pair is pinned by the embed_lsh_pairs parity)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    dim, planes = 64, 32
+    w_expr = similarity._plane_weight_spark(dim)
+    got = (spark.range(planes * dim)
+           .select((F.col("id") / dim).cast("int").alias("j"),
+                   (F.col("id") % dim).cast("int").alias("d"))
+           .selectExpr("j", "d", f"{w_expr} AS w")
+           .orderBy("j", "d").toPandas())
+    j = np.arange(planes, dtype=np.int64)[None, :]
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    h1 = ((j * dim + d) * 2654435761) % 2147483648
+    h2 = ((h1 ^ (h1 >> 15)) * 1597334677) % 2147483648
+    wmat = (h2 ^ (h2 >> 13)).astype(np.float64) / 2147483648.0 - 0.5
+    ref = wmat.T.ravel()  # (j, d) order
+    assert np.array_equal(got["w"].to_numpy(), ref)
