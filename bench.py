@@ -144,10 +144,12 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         R = C = 16384
         T = 512
         meta = RasterMeta(rows=R, cols=C)
-        # tile-direct generation, hash-partitioned on (ty,tx) like a
-        # bucketed production tile scan: the stencil then shuffles ONLY
-        # halo strips (copartitioned cogroup path), never tile payloads
-        tiles = synthetic_dem_tiles(spark, R, C, tile=T) \
+        # tile-direct generation WITH the edge-strip sidecar (written at
+        # ingest, as a production tile store would), hash-partitioned on
+        # (ty,tx) like a bucketed scan: the stencil slices halo strips
+        # JVM-side from the sidecar and shuffles only those; the tile
+        # payload crosses the Arrow boundary once (into the kernel)
+        tiles = synthetic_dem_tiles(spark, R, C, tile=T, with_edges=16) \
             .repartition("ty", "tx").cache()
         counts["n_tiles"] = tiles.count()
 
@@ -218,7 +220,7 @@ def main() -> None:
 
     dem_tiles = long_to_tiles(
         synthetic_dem(spark, BENCH_ROWS, BENCH_COLS), BMETA,
-        tile=BENCH_TILE).repartition("ty", "tx").cache()
+        tile=BENCH_TILE, with_edges=8).repartition("ty", "tx").cache()
     n_tiles = dem_tiles.count()
 
     pts = geocode(docs).select("doc_id", "lat", "lon")

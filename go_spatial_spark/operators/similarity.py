@@ -66,22 +66,54 @@ _NORM2_SQL = ("list_reduce(list_transform({a}, "
               "(__x, __y) -> __x + __y)")
 
 
-def _resolve_centroids(emb: DataFrame, n_centroids: int | None) -> int:
+def _estimate_rows(df: DataFrame) -> int:
+    """Row count without a full scan when possible: for a bare parquet
+    scan, sum the parquet footers' exact row counts driver-side (the
+    footer read is O(files), not O(data) — at production scale the
+    catalog/manifest supplies this). Falls back to df.count() for
+    non-file-backed frames (cached/synthetic inputs)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        try:
+            import pyarrow.parquet as pq
+            total = 0
+            for f in files:
+                p = f[len("file:"):] if f.startswith("file:") else f
+                if not (p.endswith(".parquet") and os.path.exists(p)):
+                    raise ValueError(p)
+                total += pq.ParquetFile(p).metadata.num_rows
+            return total
+        except Exception:
+            pass
+    return df.count()
+
+
+def _resolve_centroids(emb: DataFrame, n_centroids: int | None,
+                       n_rows: int | None = None) -> int:
     """IVF centroid count defaults to ~sqrt(N) (floor, min 16): bucket
     size and bucket count then both grow as sqrt(N), so per-bucket
     matrix work stays balanced and the scoring stage exposes O(sqrt(N))
     parallel tasks at any corpus size (16 fixed buckets stop scaling
     past 16 cores). Driver-contract queries pin 16 so the DuckDB
-    oracle sees the same quantizer."""
+    oracle sees the same quantizer. N comes from `n_rows` when the
+    caller knows it, else parquet footer stats, else one count()."""
     if n_centroids is not None:
         return n_centroids
     import math as _m
-    return max(16, _m.isqrt(max(emb.count(), 1)))
+    if n_rows is None:
+        n_rows = _estimate_rows(emb)
+    return max(16, _m.isqrt(max(n_rows, 1)))
 
 
 def cosine_topk(emb: DataFrame, k: int = 5,
                 n_centroids: int | None = None,
-                nprobe: int = 2) -> DataFrame:
+                nprobe: int = 2, exact: bool = False,
+                n_rows: int | None = None) -> DataFrame:
     """Self top-k by cosine over a bucketed ANN candidate set — the
     scale path (no driver corpus collect, no cross join).
 
@@ -103,9 +135,14 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     At 10^12 vectors every stage is an equi-join / hash aggregation on
     bucket or vec_id keys (AQE splits hot buckets); only the
     n_centroids-row quantizer is collected. The brute-force exactness
-    baseline lives in cosine_topk_bruteforce (size-guarded)."""
+    baseline lives in cosine_topk_bruteforce (size-guarded); callers
+    who relied on the pre-ANN exact semantics opt back in with
+    ``exact=True`` (same size guard)."""
+    if exact:
+        return cosine_topk_bruteforce(emb, k)
     emb = ensure_parallelism(emb)
-    ranked = _ivf_assign(emb, _resolve_centroids(emb, n_centroids),
+    ranked = _ivf_assign(emb,
+                         _resolve_centroids(emb, n_centroids, n_rows),
                          nprobe)
     ivf_scored = _ivf_bucket_scored_from(ranked, k, nprobe)
     # LSH leg: band-mate pairs scored in ONE self-join exchange — the
@@ -148,7 +185,7 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5,
     instead of melting the driver."""
     emb = ensure_parallelism(emb)
     spark = emb.sparkSession
-    n = emb.count()
+    n = _estimate_rows(emb)
     if n > max_rows:
         raise ValueError(
             f"cosine_topk_bruteforce is the O(N^2) small-N baseline: "
@@ -279,6 +316,17 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
+    global _ivf_assign_cached
+    if _ivf_assign_cached is not None:
+        # bounded cache lifecycle: at most one assignment cache lives at
+        # a time — a long session issuing many ANN queries would
+        # otherwise pin N x nprobe embedding copies per call forever
+        try:
+            _ivf_assign_cached.unpersist(blocking=False)
+        except Exception:
+            pass
+        _ivf_assign_cached = None
+
     def assign(it):
         ids, cm, cn = bc.value
         d = cm.shape[1]
@@ -306,9 +354,27 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
                                          dtype=np.int32), nrow),
                 "norm": vn[idx]})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    out = emb.select("vec_id", "embedding").mapInPandas(
         assign, schema=("vec_id long, embedding array<float>, cid long, "
                         "arn int, norm double")).cache()
+    _ivf_assign_cached = out
+    return out
+
+
+_ivf_assign_cached: DataFrame | None = None
+
+
+def release_ann_caches() -> None:
+    """Unpersist the (single, bounded) IVF assignment cache — call
+    after a query's results are materialized to free executor storage
+    immediately instead of waiting for the next ANN call to evict it."""
+    global _ivf_assign_cached
+    if _ivf_assign_cached is not None:
+        try:
+            _ivf_assign_cached.unpersist(blocking=False)
+        except Exception:
+            pass
+        _ivf_assign_cached = None
 
 
 def _ivf_bucket_scored(emb: DataFrame, k: int, n_centroids: int,
@@ -382,7 +448,7 @@ def _topk_window(scored: DataFrame, k: int) -> DataFrame:
 
 def ivf_topk(emb: DataFrame, k: int = 5,
              n_centroids: int | None = None,
-             nprobe: int = 2) -> DataFrame:
+             nprobe: int = 2, n_rows: int | None = None) -> DataFrame:
     """IVF ANN: centroids = embeddings of the n_centroids smallest
     vec_ids; every vector is assigned to its nearest centroid; queries
     probe their nprobe nearest buckets. Assignment runs as one
@@ -392,7 +458,8 @@ def ivf_topk(emb: DataFrame, k: int = 5,
     emb = ensure_parallelism(emb)
     return _topk_window(
         _ivf_bucket_scored(
-            emb, k, _resolve_centroids(emb, n_centroids), nprobe), k)
+            emb, k, _resolve_centroids(emb, n_centroids, n_rows),
+            nprobe), k)
 
 
 def ivf_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
@@ -432,7 +499,8 @@ def ivf_topk_oracle_sql(emb_tbl: str = "embeddings", k: int = 5,
     """
 
 
-def cosine_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.35,
+                    exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)
     over the LSH candidate set — the embedding leg of the dedup family
     in its scale shape: random-hyperplane band bucketing generates
@@ -441,7 +509,10 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     tradeoff (band/bit parameters tune it; at production thresholds
     near-dups collide in >=1 band w.h.p.); the exhaustive baseline is
     cosine_near_dup_bruteforce (size-guarded), which tests use to
-    measure recall."""
+    measure recall. ``exact=True`` opts back into the pre-ANN
+    exhaustive semantics (same size guard)."""
+    if exact:
+        return cosine_near_dup_bruteforce(emb, threshold)
     emb = ensure_parallelism(emb)
     pairs = embed_lsh_pairs(emb)
     q = emb.select(F.col("vec_id").alias("a"),
@@ -462,7 +533,7 @@ def cosine_near_dup_bruteforce(emb: DataFrame, threshold: float = 0.35,
     """All-pairs exact near-dup (a < b, cos >= threshold): the O(N^2)
     cross-join exactness baseline, hard-guarded to max_rows."""
     emb = ensure_parallelism(emb)
-    n = emb.count()
+    n = _estimate_rows(emb)
     if n > max_rows:
         raise ValueError(
             f"cosine_near_dup_bruteforce is the O(N^2) baseline: corpus "

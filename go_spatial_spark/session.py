@@ -104,6 +104,17 @@ def _estimated_scan_partitions(spark, files) -> int | None:
     return total
 
 
+# Logical-plan nodes that (re)establish a partitioning the file-stat
+# estimate can't see. If any appears, the frame's real partition count
+# may exceed the scan estimate — e.g. an upstream .repartition(4*cpus)
+# over a small file would be "estimated" at 1 split and coalesced back
+# down with a fresh full shuffle, the opposite of the no-op contract.
+_PARTITIONING_NODES = (
+    "Repartition", "RebalancePartitions", "Join", "Aggregate", "Sort",
+    "Window", "Deduplicate", "InMemoryRelation", "Union",
+)
+
+
 def ensure_parallelism(df, min_parts: int | None = None):
     """Spread a DataFrame across the cluster if its scan produced too
     few partitions (small local files read as one split; at production
@@ -112,17 +123,26 @@ def ensure_parallelism(df, min_parts: int | None = None):
     hashing) whose map-side work would otherwise serialize.
 
     The partition count comes from driver-side file stats
-    (inputFiles + size/maxPartitionBytes), NOT df.rdd — the RDD
-    conversion forces a full plan analysis per call, measurable
-    planning overhead on hot small queries; the RDD path remains only
-    as the fallback for non-file-backed frames."""
+    (inputFiles + size/maxPartitionBytes) ONLY when the analyzed plan
+    is a bare scan (Project/Filter/Generate over a relation) — for any
+    plan containing a partitioning-establishing node (repartition,
+    join, aggregate, cache, ...) the estimate is blind to the plan's
+    actual partitioning, so we fall back to df.rdd.getNumPartitions().
+    """
     spark = df.sparkSession
     want = min_parts or spark.sparkContext.defaultParallelism
+    est = None
     try:
-        files = df.inputFiles()
+        plan = df._jdf.queryExecution().analyzed().toString()
+        bare_scan = not any(n in plan for n in _PARTITIONING_NODES)
     except Exception:
-        files = []
-    est = _estimated_scan_partitions(spark, files) if files else None
+        bare_scan = False
+    if bare_scan:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        est = _estimated_scan_partitions(spark, files) if files else None
     parts = est if est is not None else df.rdd.getNumPartitions()
     if parts < want:
         return df.repartition(want)

@@ -53,6 +53,13 @@ def write_tiles_bucketed(tiles: DataFrame, meta: RasterMeta, name: str,
     props = ", ".join(
         f"'gss.{k}'='{getattr(meta, k)!r}'" for k in _META_KEYS)
     spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({props})")
+    from go_spatial_spark.grid import edges_halo_max
+    hm = edges_halo_max(tiles)
+    if hm:
+        # persist the sidecar's halo_max so a later scan re-attaches
+        # the column metadata run_stencil keys the JVM-strip path on
+        spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES "
+                  f"('gss.edges_halo_max'='{hm}')")
 
 
 def read_tiles_bucketed(spark: SparkSession, name: str
@@ -71,4 +78,9 @@ def read_tiles_bucketed(spark: SparkSession, name: str
         if v is not None:
             kwargs[k] = (int if k in ("rows", "cols", "epsg")
                          else float)(v.strip("'"))
-    return spark.table(name), RasterMeta(**kwargs)
+    tiles = spark.table(name)
+    hm = props.get("gss.edges_halo_max")
+    if hm is not None and "edges" in tiles.columns:
+        tiles = tiles.withMetadata(
+            "edges", {"halo_max": int(hm.strip("'"))})
+    return tiles, RasterMeta(**kwargs)

@@ -186,3 +186,77 @@ def test_copartitioned_elides_big_side_exchange(spark):
         assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
     finally:
         part.unpersist()
+
+
+def test_edge_sidecar_stencil_bit_exact(spark):
+    """The JVM-sliced sidecar strip path must be bit-identical to the
+    Python emit path: ragged sizes, diagonal corners, halo == halo_max,
+    and the transposed column-apron decode."""
+    from go_spatial_spark import kernels
+    from go_spatial_spark.grid import (
+        RasterMeta, attach_edges, edges_halo_max, run_stencil,
+        synthetic_dem_tiles)
+
+    for (R, C, T, halo, kernel, extra) in (
+            (100, 77, 32, 1, kernels.slope_kernel, None),
+            (64, 64, 32, 5, kernels.mean_filter_kernel,
+             {"rx": 5, "ry": 5}),
+            (33, 90, 32, 8, kernels.deviation_from_mean_kernel,
+             {"r": 8, "k": 80.0})):
+        meta = RasterMeta(rows=R, cols=C)
+        plain = synthetic_dem_tiles(spark, R, C, tile=T) \
+            .repartition("ty", "tx")
+        withe = synthetic_dem_tiles(spark, R, C, tile=T, with_edges=8) \
+            .repartition("ty", "tx")
+        assert edges_halo_max(withe) == 8
+        a = {(r.row, r.col): r.value for r in run_stencil(
+            plain, meta, kernel, halo=halo, tile=T, ctx_extra=extra,
+            output="long", copartitioned=True).collect()}
+        b = {(r.row, r.col): r.value for r in run_stencil(
+            withe, meta, kernel, halo=halo, tile=T, ctx_extra=extra,
+            output="long", copartitioned=True).collect()}
+        assert a == b, (R, C, T, halo)
+
+    # attach_edges after the fact + halo > halo_max falls back to the
+    # Python emit path (still correct)
+    meta = RasterMeta(rows=100, cols=77)
+    plain = synthetic_dem_tiles(spark, 100, 77, tile=32)
+    att = attach_edges(plain, 1).repartition("ty", "tx")
+    a = {(r.row, r.col): r.value for r in run_stencil(
+        plain.repartition("ty", "tx"), meta, kernels.mean_filter_kernel,
+        halo=2, tile=32, ctx_extra={"rx": 2, "ry": 2}, output="long",
+        copartitioned=True).collect()}
+    b = {(r.row, r.col): r.value for r in run_stencil(
+        att, meta, kernels.mean_filter_kernel, halo=2, tile=32,
+        ctx_extra={"rx": 2, "ry": 2}, output="long",
+        copartitioned=True).collect()}
+    assert a == b
+
+
+def test_edge_sidecar_strips_are_jvm_side(spark):
+    """Plan assertion: with a sidecar input the halo strips are sliced
+    by Catalyst substring over an edges-only column-pruned scan — no
+    Python emit stage; the cogroup and the strip shuffle are the only
+    post-input stages, and tile payloads still see zero exchange."""
+    from go_spatial_spark import kernels
+    from go_spatial_spark.grid import (
+        RasterMeta, run_stencil, synthetic_dem_tiles)
+
+    meta = RasterMeta(rows=70, cols=53)
+    part = synthetic_dem_tiles(spark, 70, 53, tile=32, with_edges=8) \
+        .repartition("ty", "tx").cache()
+    try:
+        part.count()
+        out = run_stencil(part, meta, kernels.slope_kernel, halo=1,
+                          tile=32, output="tiles", copartitioned=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "substring(edges" in plan, plan
+        assert "MapInArrow" not in plan, plan          # no Python emit
+        assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+        # strips side reads only the sidecar, not the payload column
+        import re
+        scans = re.findall(r"InMemoryTableScan \[([^\]]*)\]", plan)
+        strip_scans = [s for s in scans if "edges" in s]
+        assert strip_scans and all("data" not in s for s in strip_scans), plan
+    finally:
+        part.unpersist()
