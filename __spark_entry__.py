@@ -45,6 +45,55 @@ META_GEO = RasterMeta(rows=GRID_ROWS, cols=GRID_COLS, north=50.0,
 WORLD = RasterMeta(rows=180, cols=360, north=90.0, south=-90.0,
                    east=180.0, west=-180.0)
 
+import os as _os  # noqa: E402
+
+_FMTQ = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "fixtures", "fmtq")
+# Reference-DEM golden sample (188x237 float32): cell(100,100) is the
+# reference's own pinned value (rasterFormat_test.go:30); the rest are
+# decoded-once regression goldens shared VERBATIM by the Whitebox and
+# Idrisi queries — the two independent format decoders must agree.
+_FMT_ROWS = [0, 50, 100, 150, 187]
+_FMT_COLS = [0, 60, 100, 180, 236]
+_FMT_GOLDEN = [
+    (0, 0, 1037.6131591796875), (0, 60, 430.2420959472656),
+    (0, 100, 218.65396118164062), (0, 180, 627.9446411132812),
+    (0, 236, 281.1356506347656), (50, 0, 861.1737670898438),
+    (50, 60, 546.8055419921875), (50, 100, 353.5282897949219),
+    (50, 180, 464.6358642578125), (50, 236, 360.95989990234375),
+    (100, 0, 926.9435424804688), (100, 60, 628.96533203125),
+    (100, 100, 429.42730712890625), (100, 180, 370.8030090332031),
+    (100, 236, 276.96844482421875), (150, 0, 604.03271484375),
+    (150, 60, 541.231201171875), (150, 100, 490.62420654296875),
+    (150, 180, 410.65789794921875), (150, 236, 497.77459716796875),
+    (187, 0, 662.5465087890625), (187, 60, 705.9212646484375),
+    (187, 100, 521.3821411132812), (187, 180, 370.6791076660156),
+    (187, 236, 402.5852966308594)]
+
+
+def _fmt_golden_sql() -> str:
+    # string -> DOUBLE cast: a bare 17-digit literal would go through
+    # DuckDB's DECIMAL parser and lose the last ulp
+    vals = ", ".join(
+        f"(CAST({r} AS INT), CAST({c} AS INT), CAST('{v!r}' AS DOUBLE))"
+        for r, c, v in _FMT_GOLDEN)
+    return f"SELECT * FROM (VALUES {vals}) t(row, col, value)"
+
+
+# LAS fixture formula (scripts/make_format_fixtures.py las_fields):
+# all scales exact dyadics, so int*scale+offset is bit-identical
+# between the reader's float64 arithmetic and DuckDB.
+_LAS_ORACLE = """
+    SELECT 100.0 + CAST((i*3) % 257 AS DOUBLE) * 0.25 AS x,
+           -50.0 + CAST((i*7) % 263 AS DOUBLE) * 0.5 AS y,
+           12.5 + CAST((i*i) % 1024 AS DOUBLE) * 0.015625 AS z,
+           CAST((i*11) % 613 AS INT) AS intensity,
+           CAST(i % 13 AS INT) AS class,
+           CAST((i % 5) + 1 AS INT) AS return_num,
+           CAST(5 AS INT) AS num_returns,
+           100000.0 + CAST(i AS DOUBLE) * 0.5 AS gps_time
+    FROM range(0, 199) t(i)"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -237,6 +286,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, "/root/reference/geospatialfiles/tests/testdata/DEM.tif")
     q["geotiff_tags"] = geotiff_tags_q
 
+    # --- format readers (SURVEY §2.1) as driver rows -----------------------
+    # Whitebox/Idrisi decode the REFERENCE DEM fixtures and are checked
+    # against a 25-cell golden sample (cell(100,100)=429.42730712890625
+    # is the reference's own pinned golden, rasterFormat_test.go:30;
+    # .tas and .rst hold byte-identical planes, so both readers must
+    # reproduce the same VALUES). ArcGIS/GRASS/LAS read committed
+    # fixtures written independently from the synthetic-DEM/point
+    # formulas (scripts/make_format_fixtures.py) and are checked
+    # against DuckDB recomputing the formula — full-plane value parity.
+    _REF = "/root/reference/geospatialfiles/tests/testdata"
+
+    def _fmt_sample(df: DataFrame) -> DataFrame:
+        return df.where(F.col("row").isin(_FMT_ROWS)
+                        & F.col("col").isin(_FMT_COLS))
+
+    def read_whitebox_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.sources.raster_io import read_whitebox
+        return _fmt_sample(read_whitebox(spark, f"{_REF}/DEM.dep")[1])
+    q["read_whitebox"] = read_whitebox_q
+
+    def read_idrisi_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.sources.raster_io import read_idrisi
+        return _fmt_sample(read_idrisi(spark, f"{_REF}/DEM.rdc")[1])
+    q["read_idrisi"] = read_idrisi_q
+
+    def read_arcgis_ascii_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.sources.raster_io import read_arcgis_ascii
+        return read_arcgis_ascii(spark, f"{_FMTQ}/dem64.asc")[1]
+    q["read_arcgis_ascii"] = read_arcgis_ascii_q
+
+    def read_arcgis_binary_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.sources.raster_io import read_arcgis_binary
+        return read_arcgis_binary(spark, f"{_FMTQ}/dem64.hdr")[1]
+    q["read_arcgis_binary"] = read_arcgis_binary_q
+
+    def read_grass_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.sources.raster_io import read_grass_ascii
+        return read_grass_ascii(spark, f"{_FMTQ}/dem64_grass.txt")[1]
+    q["read_grass"] = read_grass_q
+
+    def read_las_q(spark: SparkSession, sf: str) -> DataFrame:
+        from go_spatial_spark.sources.raster_io import read_las
+        return read_las(spark, f"{_FMTQ}/pts64.las")
+    q["read_las"] = read_las_q
+
     # --- dedup / text / similarity ----------------------------------------
     q["exact_dedup"] = lambda spark, sf: dedup.exact_dedup(_docs(spark, sf))
     q["minhash_signatures"] = lambda spark, sf: dedup.minhash_signatures(
@@ -257,6 +351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_featurize"] = lambda spark, sf: \
         multimodal.decode_and_featurize(
             multimodal.synthetic_media(spark, _docs(spark, sf)))
+    # REAL codec path: payloads are genuine binary PPM (P6) images,
+    # decoded by the pure-NumPy netpbm parser (fake=False end to end)
+    q["multimodal_ppm"] = lambda spark, sf: \
+        multimodal.decode_and_featurize(
+            multimodal.synthetic_ppm_media(spark, _docs(spark, sf)),
+            fake=False, codec="ppm")
 
     # --- web-corpus curation (host accounting / sampling / filtering) ---
     from go_spatial_spark.operators import webcurate
@@ -400,6 +500,13 @@ def oracle_sql() -> dict[str, str]:
     o["breach_streams"] = oracles.breach_streams_invariants_sql(
         GRID_ROWS, GRID_COLS, n_changed=1709, n_lowered=1269, n_raised=440)
     o["geotiff_tags"] = oracles.geotiff_tags_golden_sql()
+    o["read_whitebox"] = _fmt_golden_sql()
+    o["read_idrisi"] = _fmt_golden_sql()
+    fm64 = synthetic_dem_sql(64, 64)
+    o["read_arcgis_ascii"] = fm64
+    o["read_arcgis_binary"] = fm64
+    o["read_grass"] = fm64
+    o["read_las"] = _LAS_ORACLE
 
     o["exact_dedup"] = dedup.exact_dedup_oracle_sql()
     o["minhash_signatures"] = dedup.minhash_signatures_oracle_sql()
@@ -412,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprint"] = textstats.fingerprint_oracle_sql()
     from go_spatial_spark.operators import multimodal
     o["multimodal_featurize"] = multimodal.featurize_oracle_sql()
+    o["multimodal_ppm"] = multimodal.featurize_oracle_sql(
+        kind_expr="'image'")
     from go_spatial_spark.operators import webcurate
     o["host_stats"] = webcurate.host_stats_oracle_sql()
     o["quota_sample"] = webcurate.quota_sample_oracle_sql()

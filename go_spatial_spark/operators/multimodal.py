@@ -57,7 +57,84 @@ def _fake_decode(payload: bytes, width: int, height: int,
     return base.reshape(height, width, channels)
 
 
-def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
+# --- real codec: PPM (P6), pure NumPy ------------------------------------
+# One genuinely real decode path behind the codec boundary: binary PPM
+# is a public one-header-line-per-field format (netpbm spec), so the
+# container's no-PIL/ffmpeg constraint doesn't apply. PNG/JPEG remain
+# honest NotImplementedError stubs.
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = arr.shape
+    assert c == 3, "P6 is 3-channel"
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + np.ascontiguousarray(arr, dtype=np.uint8).tobytes())
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) uint8. Handles whitespace/comment
+    tokens per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=i).reshape(h, w, 3)
+
+
+def _ppm_decode(payload: bytes, width: int, height: int,
+                channels: int) -> np.ndarray:
+    arr = decode_ppm(bytes(payload))
+    assert arr.shape == (height, width, channels), \
+        (arr.shape, height, width, channels)
+    return arr
+
+
+_DECODERS = {"fake": _fake_decode, "ppm": _ppm_decode}
+
+
+def synthetic_ppm_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL binary PPM images (pixel
+    bytes = the md5-seeded pattern of the doc text, P6-encoded) — the
+    real-codec twin of `synthetic_media`, so
+    decode_and_featurize(..., codec='ppm') exercises an actual decode
+    while keeping the same integer-exact feature oracle."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                did = int(t.doc_id)
+                w, h = did % 64 + 16, did % 48 + 16
+                arr = _fake_decode(t.text.encode("utf-8"), w, h, 3)
+                rows.append((did, "image", encode_ppm(arr),
+                             {"width": w, "height": h, "channels": 3,
+                              "sample_rate": 16000,
+                              "n_frames": did % 7 + 1}))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "payload", "meta"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def decode_and_featurize(media: DataFrame, fake: bool = True,
+                         codec: str = "fake") -> DataFrame:
     """media -> per-item features: per-channel mean (mean_c0), overall
     mean (mean_all) and a 60-bit aHash signature from the 8x8 block
     thumbnail. One Arrow batch per partition; no per-row Python
@@ -69,11 +146,18 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
     single final IEEE division, and the aHash threshold compares
     64*block_sum > total_sum in pure integers (equivalent to
     block_mean > mean(block_means) since every 8x8 block of the
-    cropped thumbnail has the same pixel count)."""
-    if not fake:
+    cropped thumbnail has the same pixel count).
+
+    ``codec='ppm'`` selects the REAL pure-NumPy P6 decoder (payloads
+    must be binary PPM, see `synthetic_ppm_media`); ``codec='fake'``
+    with ``fake=False`` raises — PNG/JPEG/audio codecs are genuinely
+    absent in this container."""
+    if codec == "fake" and not fake:
         raise NotImplementedError(
-            "real image/audio codecs are not available in this "
-            "container; install PIL/ffmpeg and replace _fake_decode")
+            "real PNG/JPEG/audio codecs are not available in this "
+            "container; use codec='ppm' for the real decode path or "
+            "install PIL/ffmpeg and replace _fake_decode")
+    decode = _DECODERS[codec]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -81,8 +165,8 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
             for t in pdf.itertuples(index=False):
                 m = t.meta
                 w, h = int(m["width"]), int(m["height"])
-                arr = _fake_decode(bytes(t.payload), w, h,
-                                   int(m["channels"]))
+                arr = decode(bytes(t.payload), w, h,
+                             int(m["channels"]))
                 ch_sums = arr.reshape(-1, arr.shape[2]) \
                     .astype(np.int64).sum(axis=0)
                 n_pix = w * h
@@ -106,22 +190,27 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
                      "mean_all double, phash long"))
 
 
-def featurize_oracle_sql(docs_tbl: str = "documents") -> str:
+def featurize_oracle_sql(docs_tbl: str = "documents",
+                         kind_expr: str | None = None) -> str:
     """DuckDB replica of synthetic_media + _fake_decode +
     decode_and_featurize: flattened byte index i of the (H, W, C=3)
     fake image has value md5(text)[i % 16] (the md5-seeded repeating
     byte pattern), channel = i % 3, pixel = i // 3. All aggregates are
-    integer sums; divisions mirror the kernel's exact order."""
+    integer sums; divisions mirror the kernel's exact order.
+    ``kind_expr="'image'"`` matches the real-PPM media table (whose
+    pixel plane is the same md5 pattern, P6-encoded — so this oracle
+    checks the REAL decoder bit-for-bit too)."""
     # max W*H*C: (63+16)*(47+16)*3 < 80*64*3
     cap = 80 * 64 * 3
     byte = ("('0x' || substring(hx, CAST(2 * (i % 16) AS INT) + 1, 2))"
             "::INT")
+    kind = kind_expr or ("CASE WHEN doc_id % 3 = 0 THEN 'image' "
+                         "WHEN doc_id % 3 = 1 THEN 'audio' "
+                         "ELSE 'video' END")
     return f"""
     WITH m AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0 THEN 'image'
-                  WHEN doc_id % 3 = 1 THEN 'audio'
-                  ELSE 'video' END AS kind,
+             {kind} AS kind,
              md5(text) AS hx,
              CAST(doc_id % 64 + 16 AS BIGINT) AS w,
              CAST(doc_id % 48 + 16 AS BIGINT) AS h

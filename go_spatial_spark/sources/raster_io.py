@@ -639,46 +639,95 @@ def read_geotiff_distributed(spark: SparkSession, path: str,
 # LAS LiDAR (read) — lidar/las.go, lasHeader.go, lasPoint.go
 # ---------------------------------------------------------------------------
 
+_LAS_SCHEMA = ("x double, y double, z double, intensity int, "
+               "class int, return_num int, num_returns int, "
+               "gps_time double")
+
+
+def _las_header(buf: bytes) -> tuple[int, int, int, int, tuple]:
+    """Parse the LAS public header block (lasHeader.go fields)."""
+    assert buf[:4] == b"LASF", "not a LAS file"
+    (offset_to_points,) = struct.unpack("<I", buf[96:100])
+    fmt_id = buf[104]
+    (rec_len,) = struct.unpack("<H", buf[105:107])
+    (n_points,) = struct.unpack("<I", buf[107:111])
+    scales = struct.unpack("<6d", buf[131:179])
+    return offset_to_points, fmt_id, rec_len, n_points, scales
+
+
+def _las_decode(raw_bytes: bytes, n: int, rec_len: int, fmt_id: int,
+                scales: tuple) -> pd.DataFrame:
+    """Decode n fixed-width point records (lasPoint.go:69-149 bit
+    fields; las.go:85-93 scale/offset)."""
+    sx, sy, sz, ox, oy, oz = scales
+    raw = np.frombuffer(raw_bytes, dtype=np.uint8,
+                        count=n * rec_len).reshape(n, rec_len)
+    xi = raw[:, 0:4].copy().view("<i4").ravel()
+    yi = raw[:, 4:8].copy().view("<i4").ravel()
+    zi = raw[:, 8:12].copy().view("<i4").ravel()
+    inten = raw[:, 12:14].copy().view("<u2").ravel()
+    bits = raw[:, 14]
+    cls = raw[:, 15]
+    gps = np.zeros(n)
+    if fmt_id in (1, 3):
+        gps = raw[:, 20:28].copy().view("<f8").ravel()
+    return pd.DataFrame({
+        "x": xi * sx + ox, "y": yi * sy + oy, "z": zi * sz + oz,
+        "intensity": inten.astype(np.int32),
+        "class": (cls & 0x1F).astype(np.int32),
+        "return_num": (bits & 0x07).astype(np.int32),
+        "num_returns": ((bits >> 3) & 0x07).astype(np.int32),
+        "gps_time": gps})
+
+
 def read_las(spark: SparkSession, path: str) -> DataFrame:
     """LAS v1.x -> point DataFrame (x, y, z, intensity, class,
     return_num, num_returns, gps_time). Scale/offset decode per
-    las.go:85-93; bit fields per lasPoint.go:69-149."""
+    las.go:85-93; bit fields per lasPoint.go:69-149. Whole-file
+    single-task decode (the binaryFile path works on any Hadoop
+    filesystem); large files on shared/posix storage should use
+    `read_las_distributed`."""
     bf = spark.read.format("binaryFile").load(path).select("content")
 
     def run(it):
         for pdf in it:
             for t in pdf.itertuples(index=False):
                 buf = bytes(t.content)
-                assert buf[:4] == b"LASF", "not a LAS file"
-                (offset_to_points,) = struct.unpack("<I", buf[96:100])
-                fmt_id = buf[104]
-                (rec_len,) = struct.unpack("<H", buf[105:107])
-                (n_points,) = struct.unpack("<I", buf[107:111])
-                sx, sy, sz, ox, oy, oz = struct.unpack("<6d", buf[131:179])
-                raw = np.frombuffer(
-                    buf, dtype=np.uint8, count=n_points * rec_len,
-                    offset=offset_to_points).reshape(n_points, rec_len)
-                xi = raw[:, 0:4].copy().view("<i4").ravel()
-                yi = raw[:, 4:8].copy().view("<i4").ravel()
-                zi = raw[:, 8:12].copy().view("<i4").ravel()
-                inten = raw[:, 12:14].copy().view("<u2").ravel()
-                bits = raw[:, 14]
-                cls = raw[:, 15]
-                gps = np.zeros(n_points)
-                if fmt_id in (1, 3):
-                    gps = raw[:, 20:28].copy().view("<f8").ravel()
-                yield pd.DataFrame({
-                    "x": xi * sx + ox, "y": yi * sy + oy, "z": zi * sz + oz,
-                    "intensity": inten.astype(np.int32),
-                    "class": (cls & 0x1F).astype(np.int32),
-                    "return_num": (bits & 0x07).astype(np.int32),
-                    "num_returns": ((bits >> 3) & 0x07).astype(np.int32),
-                    "gps_time": gps})
+                off, fmt_id, rec_len, n_points, scales = _las_header(buf)
+                yield _las_decode(buf[off:], n_points, rec_len, fmt_id,
+                                  scales)
 
-    return bf.mapInPandas(
-        run, schema=("x double, y double, z double, intensity int, "
-                     "class int, return_num int, num_returns int, "
-                     "gps_time double"))
+    return bf.mapInPandas(run, schema=_LAS_SCHEMA)
+
+
+def read_las_distributed(spark: SparkSession, path: str,
+                         points_per_task: int | None = None) -> DataFrame:
+    """Record-range-parallel LAS scan: point records are fixed width
+    (las.go:66-93), so the driver parses the O(1) header and fans out
+    (start, count) record ranges; each task seek-reads only its own
+    byte span — a billion-point cloud decodes across the cluster
+    instead of on one core (same shape as read_geotiff_distributed).
+    Requires the path visible from executors (shared/posix storage)."""
+    with open(path, "rb") as f:
+        off, fmt_id, rec_len, n_points, scales = _las_header(f.read(227))
+    if points_per_task is None:
+        target = 4 * spark.sparkContext.defaultParallelism
+        points_per_task = max(1, -(-n_points // max(target, 1)))
+    ranges = [(s, min(points_per_task, n_points - s))
+              for s in range(0, n_points, points_per_task)]
+    rdf = spark.createDataFrame(ranges, "start long, cnt int") \
+        .repartition(max(len(ranges), 1))
+
+    def run(it):
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                with open(path, "rb") as f:
+                    f.seek(off + int(t.start) * rec_len)
+                    raw = f.read(int(t.cnt) * rec_len)
+                yield _las_decode(raw, int(t.cnt), rec_len, fmt_id,
+                                  scales)
+
+    return rdf.mapInPandas(run, schema=_LAS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -37,3 +37,36 @@ def test_real_codec_path_is_marked(spark, sf001):
     media = MM.synthetic_media(spark, docs)
     with pytest.raises(NotImplementedError):
         MM.decode_and_featurize(media, fake=False)
+
+
+def test_ppm_codec_roundtrip():
+    """Real PPM (P6) encode/decode round-trip, plus spec details:
+    comment lines and header whitespace."""
+    import numpy as np
+    from go_spatial_spark.operators.multimodal import (
+        decode_ppm, encode_ppm)
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(19, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    # comment + multi-whitespace header per netpbm spec
+    body = arr.tobytes()
+    hdr = b"P6\n# a comment\n 31\t19\n# another\n255\n"
+    assert np.array_equal(decode_ppm(hdr + body), arr)
+
+
+def test_ppm_featurize_matches_fake(spark):
+    """The REAL PPM decode path yields bit-identical features to the
+    fake-decode path (payload pixel planes are identical by
+    construction) — fake=False end to end."""
+    from go_spatial_spark.operators import multimodal
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i} " * (i % 5 + 1)) for i in range(60)],
+        "doc_id long, text string")
+    fake = multimodal.decode_and_featurize(
+        multimodal.synthetic_media(spark, docs)).drop("kind")
+    real = multimodal.decode_and_featurize(
+        multimodal.synthetic_ppm_media(spark, docs),
+        fake=False, codec="ppm").drop("kind")
+    a = {tuple(r) for r in fake.collect()}
+    b = {tuple(r) for r in real.collect()}
+    assert a == b and len(a) == 60

@@ -315,3 +315,41 @@ def test_read_geotiff_rgb_and_paletted(spark, tmp_path):
     for y in range(h):
         for x in range(w):
             assert got[(y, x)] == pal[idx[y, x]]
+
+
+def test_las_distributed_matches_single_task(spark, tmp_path):
+    """read_las_distributed fans fixed-width record ranges out across
+    >1 task and decodes byte-identically to the whole-file reader."""
+    import struct
+    n = 50_000
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    header[24], header[25] = 1, 2
+    struct.pack_into("<H", header, 94, 227)
+    struct.pack_into("<I", header, 96, 227)
+    header[104] = 1
+    struct.pack_into("<H", header, 105, 28)
+    struct.pack_into("<I", header, 107, n)
+    struct.pack_into("<6d", header, 131, 0.25, 0.5, 0.015625,
+                     100.0, -50.0, 12.5)
+    import numpy as np
+    i = np.arange(n, dtype=np.int64)
+    rec = np.zeros((n, 28), dtype=np.uint8)
+    rec[:, 0:4] = ((i * 3) % 100_000).astype("<i4")[:, None].view(np.uint8)
+    rec[:, 4:8] = ((i * 7) % 90_001).astype("<i4")[:, None].view(np.uint8)
+    rec[:, 8:12] = ((i * i) % 4096).astype("<i4")[:, None].view(np.uint8)
+    rec[:, 12:14] = ((i * 11) % 613).astype("<u2")[:, None].view(np.uint8)
+    rec[:, 14] = ((i % 5) + 1) | (5 << 3)
+    rec[:, 15] = i % 13
+    rec[:, 20:28] = (1000.0 + i * 0.5)[:, None].view(np.uint8)
+    p = str(tmp_path / "big.las")
+    with open(p, "wb") as f:
+        f.write(bytes(header) + rec.tobytes())
+
+    single = io.read_las(spark, p)
+    dist = io.read_las_distributed(spark, p, points_per_task=7_000)
+    # 50k / 7k -> 8 record ranges = 8 independent tasks
+    assert dist.rdd.getNumPartitions() > 1
+    a = sorted(map(tuple, single.collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert a == b and len(a) == n
