@@ -195,12 +195,21 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM,
     g_all = _grams(docs, n_gram).distinct().repartition("gram") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     # hot grams are by definition few (df > df_cap) -> broadcast the
-    # exclusion list; the anti-join stays map-side over the cached g_all
+    # exclusion list; the anti-join stays map-side over the cached
+    # g_all. PERSIST hot: `g` is referenced by four plan branches
+    # (sizes x2, both self-join sides), and without the persist each
+    # branch re-runs the full-gram-table aggregation + a shuffle of
+    # every distinct gram — 4x the dominant scan at production scale
+    # (verified in the executed plan: 4 ENSURE_REQUIREMENTS exchanges
+    # on gram collapse to the one REPARTITION_BY_COL).
     hot = (g_all.groupBy("gram").agg(F.count("*").alias("df"))
-           .where(F.col("df") > df_cap).select("gram"))
+           .where(F.col("df") > df_cap).select("gram")
+           .persist(StorageLevel.MEMORY_AND_DISK))
     g = g_all.join(F.broadcast(hot), "gram", "left_anti")
-    # sizes is one row per doc — broadcast both lookup joins
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # sizes is one row per doc — broadcast both lookup joins; persisted
+    # so the a- and b-side broadcasts share one aggregation of g
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (g.alias("l").join(g.alias("r"), "gram")
              .where(F.col("l.doc_id") != F.col("r.doc_id"))
              .groupBy(F.col("l.doc_id").alias("a"),

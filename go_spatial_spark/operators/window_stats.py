@@ -155,26 +155,27 @@ def dev_from_mean_traditional(dem: DataFrame, r: int = 8) -> DataFrame:
     """DeviationFromMeanTraditional — the reference's own brute-force
     oracle tool (deviationFromMeanTraditionalMethod.go:174-299) as a
     first-class Catalyst plan: the (2r+1)^2 window scan becomes an
-    exploded-offset EQUI-join (broadcast offsets, hash join on shifted
-    (row, col) keys — never a nested-loop range join), grouped per
-    cell. The integral-image edge quirk (global row 0 / col 0 never
+    exploded-offset EQUI-join (offsets generated by an in-row
+    explode(sequence(...)) — no join, stays inside whole-stage
+    codegen; the neighbor lookup is a hash join on shifted (row, col)
+    keys — never a nested-loop range join), grouped per cell. The integral-image edge quirk (global row 0 / col 0 never
     contribute, deviationFromMean.go:300-330) is reproduced by the
     nr>=1/nc>=1 join predicate. Exact cross-engine: window sums of the
     dyadic-rational DEM are order-free exact (see module docstring).
     """
-    spark = dem.sparkSession
     mn, mx = dem.agg(F.min("value"), F.max("value")).first()
     k = float(mn + (mx - mn) / 2.0)
     w = 2 * r + 1
-    offs = spark.range(w * w).select(
-        ((F.col("id") / w).cast("int") - F.lit(r)).alias("dy"),
-        ((F.col("id") % w).cast("int") - F.lit(r)).alias("dx"))
-    c = dem.select(F.col("row").alias("r0"), F.col("col").alias("c0"),
-                   F.col("value").alias("z"))
+    c = (dem.select(F.col("row").alias("r0"), F.col("col").alias("c0"),
+                    F.col("value").alias("z"),
+                    F.explode(F.sequence(F.lit(0), F.lit(w * w - 1)))
+                    .alias("oid"))
+         .select("r0", "c0", "z",
+                 ((F.col("oid") / w).cast("int") - F.lit(r)).alias("dy"),
+                 ((F.col("oid") % w).cast("int") - F.lit(r)).alias("dx")))
     n = dem.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
                    F.col("value").alias("nv"))
-    j = (c.crossJoin(F.broadcast(offs))
-         .join(n, (F.col("nr") == F.col("r0") + F.col("dy"))
+    j = (c.join(n, (F.col("nr") == F.col("r0") + F.col("dy"))
                & (F.col("nc") == F.col("c0") + F.col("dx"))
                & (F.col("nr") >= 1) & (F.col("nc") >= 1), "left"))
     zz = F.col("nv") - F.lit(k)

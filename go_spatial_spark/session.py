@@ -24,8 +24,15 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
+    # $SPARK_GRAFT_MASTER overrides the master verbatim — used by the
+    # scaling bench to run the SAME job under multi-process executors
+    # (local-cluster[n,c,mem]): each executor is a separate JVM with its
+    # own committed heap, GC, and Python-worker pool, which is what an
+    # N -> 4N cluster scale-out actually adds. cpus should then be the
+    # TOTAL core count (n*c) so shuffle partitioning is sized the same.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -49,6 +56,24 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    if master.startswith("local-cluster"):
+        # Executors are forked JVMs: they need the repo on PYTHONPATH
+        # (for the python-worker daemon module) and the same committed
+        # heap a cluster executor gets. Memory comes from the master
+        # string's per-executor MB figure.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        exec_mem_mb = master.rstrip("]").split(",")[-1].strip()
+        builder = (
+            builder
+            .config("spark.executor.memory", f"{exec_mem_mb}m")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+            .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        )
+        if os.environ.get("SPARK_GRAFT_PRETOUCH"):
+            builder = builder.config(
+                "spark.executor.extraJavaOptions",
+                f"-Xms{exec_mem_mb}m -XX:+AlwaysPreTouch")
     if os.environ.get("SPARK_GRAFT_PRETOUCH"):
         # Benchmark mode: commit + zero the whole heap up front. The
         # JVM's lazy heap growth otherwise charges page-commit faults to

@@ -68,3 +68,52 @@ def test_knn_plan_shuffles_on_cell(spark, sf01):
     joins = re.findall(r"\w*Join\w*", plan)
     assert joins and "HashJoin" in joins[0], joins
     assert "CartesianProduct" not in plan
+
+
+def test_dev_traditional_is_hash_join(spark):
+    """The (2r+1)^2 window scan must compile to a broadcast-offset
+    EQUI-join (hash join on shifted (row,col) keys), never a
+    BroadcastNestedLoopJoin / range join — at 100x raster sizes a
+    nested-loop over cells x offsets is quadratic death."""
+    from go_spatial_spark.grid import synthetic_dem
+    from go_spatial_spark.operators.window_stats import (
+        dev_from_mean_traditional)
+    dem = synthetic_dem(spark, 32, 32)
+    plan = _plan(dev_from_mean_traditional(dem, r=2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the neighbor lookup is a real equi-join on the shifted keys
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_ngram_pipeline_shares_gram_exchange(spark, sf001):
+    """df-cap agg, anti-join and the gram self-join must all reuse ONE
+    hash(gram) distribution (g_all is persisted gram-partitioned): a
+    second full exchange of the exploded gram table is the dominant
+    cost at production scale."""
+    from go_spatial_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    df = dedup.ngram_jaccard_top1(docs)
+    plan = _plan(df)
+    try:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # exactly TWO gram shuffles: the repartition("gram") feeding
+        # the persisted g_all (REPARTITION_BY_COL), and the single hot
+        # df-cap aggregation (persisted, so its ENSURE_REQUIREMENTS
+        # exchange appears once — before the hot/sizes persists the
+        # four consumer branches of g each re-ran it). The cached
+        # plan's text repeats under every InMemoryTableScan, so count
+        # DISTINCT plan_ids, not text occurrences.
+        import re
+        ids = {m.group(1) for m in re.finditer(
+            r"Exchange hashpartitioning\(gram[^\n]*plan_id=(\d+)", plan)}
+        assert len(ids) <= 2, plan
+        ensure_ids = {m.group(1) for m in re.finditer(
+            r"Exchange hashpartitioning\(gram[^\n]*ENSURE[^\n]*plan_id=(\d+)",
+            plan)}
+        assert len(ensure_ids) <= 1, plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
