@@ -172,6 +172,29 @@ def simhash_oracle_sql(docs_tbl: str = "documents", bits: int = 60) -> str:
     """
 
 
+# Bounded cache lifecycle (same contract as similarity._ivf_assign):
+# at most ONE call's persisted intermediates (g_all / hot / sizes) live
+# at a time. g_all is the multi-TB exploded gram table at production
+# scale — without eviction a long session issuing many ngram queries
+# pins every call's copy in MEMORY_AND_DISK forever. Eviction also
+# keeps plan-cache substitution deterministic: stale entries from a
+# prior call otherwise get substituted into SOME branches of the next
+# call's plan (Spark's cache lookup is plan-structural), splitting the
+# shared gram exchange into several.
+_ngram_persisted: list[DataFrame] = []
+
+
+def release_dedup_caches() -> None:
+    """Unpersist the previous ngram_jaccard_top1 call's intermediates —
+    call after a query's results are materialized to free executor
+    storage immediately instead of waiting for the next call."""
+    while _ngram_persisted:
+        try:
+            _ngram_persisted.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM,
                        df_cap: int = 1000) -> DataFrame:
     """For each doc: its max-Jaccard neighbor over word-n-gram sets
@@ -186,6 +209,7 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM,
     intersections (Jaccard over the capped vocabulary), mirrored
     exactly in the oracle."""
     docs = ensure_parallelism(docs)
+    release_dedup_caches()
     # g_all feeds four plan branches (df counts, sizes, both sides of
     # the self-join); persist GRAM-PARTITIONED so the scan+explode+
     # distinct runs once AND the df aggregation + the gram self-join
@@ -210,6 +234,7 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM,
     # so the a- and b-side broadcasts share one aggregation of g
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    _ngram_persisted.extend([g_all, hot, sizes])
     pairs = (g.alias("l").join(g.alias("r"), "gram")
              .where(F.col("l.doc_id") != F.col("r.doc_id"))
              .groupBy(F.col("l.doc_id").alias("a"),

@@ -2061,11 +2061,11 @@ def breach_complete_invariants(dem: DataFrame, meta: RasterMeta
     core = j.agg(
         F.count("*").alias("n_cells"),
         F.sum(F.when(F.col("breached") != F.col("value"), 1).otherwise(0)
-              ).alias("n_changed"),
+              ).alias("golden_n_changed"),
         F.sum(F.when(F.col("breached") < F.col("value"), 1).otherwise(0)
-              ).alias("n_lowered"),
+              ).alias("golden_n_lowered"),
         F.sum(F.when(F.col("breached") > F.col("value"), 1).otherwise(0)
-              ).alias("n_raised"))
+              ).alias("golden_n_raised"))
     return (core
             .crossJoin(interior_pit_count(dem, "value", "n_pits_in"))
             .crossJoin(interior_pit_count(out, "breached")))
@@ -2093,7 +2093,7 @@ def breach_constrained_invariants(dem: DataFrame, meta: RasterMeta,
         F.sum(F.when(F.col("value") - F.col("breached") > F.lit(bound),
                      1).otherwise(0)).alias("n_over_depth_bound"),
         F.sum(F.when(F.col("breached") != F.col("value"), 1).otherwise(0)
-              ).alias("n_changed")).withColumn(
+              ).alias("golden_n_changed")).withColumn(
         "depth_bound", F.lit(bound))
     return (core
             .crossJoin(interior_pit_count(dem, "value", "n_pits_in"))
@@ -2109,11 +2109,11 @@ def breach_streams_invariants(dem: DataFrame, streams: DataFrame,
     core = j.agg(
         F.count("*").alias("n_cells"),
         F.sum(F.when(F.col("breached") != F.col("value"), 1).otherwise(0)
-              ).alias("n_changed"),
+              ).alias("golden_n_changed"),
         F.sum(F.when(F.col("breached") < F.col("value"), 1).otherwise(0)
-              ).alias("n_lowered"),
+              ).alias("golden_n_lowered"),
         F.sum(F.when(F.col("breached") > F.col("value"), 1).otherwise(0)
-              ).alias("n_raised"))
+              ).alias("golden_n_raised"))
     streams_cnt = streams.agg(F.count("*").alias("n_stream_cells"))
     return (core.crossJoin(streams_cnt)
             .crossJoin(interior_pit_count(out, "breached")))
@@ -2121,16 +2121,36 @@ def breach_streams_invariants(dem: DataFrame, streams: DataFrame,
 
 def fd8_invariants(dem_tiles48, meta: RasterMeta, tile: int = 48
                    ) -> DataFrame:
-    """Invariant summary of distributed FD8: accum == 1.0 exactly on
-    the headwater set (no strictly-higher valid neighbor — every
-    higher neighbor sends a strictly positive fraction), accum < 1 is
-    impossible. The headwater identity is float-exact: accum is
-    1.0 + (sum of non-negative inflows), and the inflow sum is 0 only
-    when there are no contributors."""
+    """Invariant summary of distributed FD8. The headwater set (no
+    strictly-higher valid 8-neighbor) is computed from the DEM itself
+    — NOT inferred from ``accum == 1.0``: a cell whose only inflow is
+    below ~1 ulp of 1.0 would round ``1.0 + inflow`` back to 1.0 and
+    be miscounted as a headwater, so float saturation can inflate the
+    count on a non-dyadic DEM. On true headwaters accum IS exactly 1.0
+    (no inflow terms at all), so ``n_head_accum_mismatch == 0`` is a
+    safe one-directional check; ``accum < 1`` is impossible (loads
+    non-negative, every valid cell starts at 1)."""
+    from go_spatial_spark.grid import tiles_to_long
     acc = fd8_flow_accum(dem_tiles48, meta, tile=tile)
+    dem = tiles_to_long(dem_tiles48, meta, tile=tile)
+    offs = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)])
+    e = dem.select("row", "col", "value", F.explode(offs).alias("o"))
+    nbr = dem.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
+                     F.col("value").alias("nz"))
+    head = (e.join(nbr, (F.col("nr") == F.col("row") + F.col("o.dy"))
+                   & (F.col("nc") == F.col("col") + F.col("o.dx")), "left")
+            .groupBy("row", "col")
+            .agg(F.max(F.when(F.col("nz") > F.col("value"), 1)
+                       .otherwise(0)).alias("has_higher"))
+            .where(F.col("has_higher") == 0)
+            .select("row", "col"))
+    head_stats = (head.join(acc, ["row", "col"])
+                  .agg(F.count("*").alias("n_headwater"),
+                       F.sum(F.when(F.col("accum") != 1.0, 1).otherwise(0)
+                             ).alias("n_head_accum_mismatch")))
     return acc.agg(
         F.count("*").alias("n_cells"),
-        F.sum(F.when(F.col("accum") == 1.0, 1).otherwise(0)
-              ).alias("n_headwater"),
         F.sum(F.when(F.col("accum") < 1.0, 1).otherwise(0)
-              ).alias("n_below_one"))
+              ).alias("n_below_one")).crossJoin(head_stats)

@@ -488,16 +488,17 @@ def breach_complete_invariants_sql(rows: int, cols: int,
     """Invariants of the complete-breach replay: n_cells / n_pits_in
     genuine; n_interior_pits=0 is the tool's contract (every pit gets
     a carved outlet channel); changed/lowered/raised counts are golden
-    scalars of the deterministic replay."""
+    scalars of the deterministic replay, column-prefixed golden_ so
+    readers can't mistake them for independently derived expectations."""
     return f"""
     WITH {_dem_off_cte(rows, cols)},
     {_pits_in_cte()}
     SELECT (SELECT count(*) FROM dem) AS n_cells,
            (SELECT count(*) FROM pits_in) AS n_pits_in,
            CAST(0 AS BIGINT) AS n_interior_pits,
-           CAST({n_changed} AS BIGINT) AS n_changed,
-           CAST({n_lowered} AS BIGINT) AS n_lowered,
-           CAST({n_raised} AS BIGINT) AS n_raised
+           CAST({n_changed} AS BIGINT) AS golden_n_changed,
+           CAST({n_lowered} AS BIGINT) AS golden_n_lowered,
+           CAST({n_raised} AS BIGINT) AS golden_n_raised
     """
 
 
@@ -522,7 +523,7 @@ def breach_constrained_invariants_sql(rows: int, cols: int,
            CAST(0 AS BIGINT) AS n_interior_pits,
            CAST(0 AS BIGINT) AS n_over_depth_bound,
            {max_depth} + ({max_length} + 1) * {small} AS depth_bound,
-           CAST({n_changed} AS BIGINT) AS n_changed
+           CAST({n_changed} AS BIGINT) AS golden_n_changed
     """
 
 
@@ -541,19 +542,21 @@ def breach_streams_invariants_sql(rows: int, cols: int,
                OR (i % {cols}) = {cols // 2}
                OR (i // {cols}) = (i % {cols})) AS n_stream_cells,
            CAST(0 AS BIGINT) AS n_interior_pits,
-           CAST({n_changed} AS BIGINT) AS n_changed,
-           CAST({n_lowered} AS BIGINT) AS n_lowered,
-           CAST({n_raised} AS BIGINT) AS n_raised
+           CAST({n_changed} AS BIGINT) AS golden_n_changed,
+           CAST({n_lowered} AS BIGINT) AS golden_n_lowered,
+           CAST({n_raised} AS BIGINT) AS golden_n_raised
     """
 
 
 def fd8_invariants_sql(rows: int, cols: int) -> str:
-    """Invariants of distributed FD8 accumulation: a cell's accum is
-    exactly 1.0 iff it has no strictly-higher valid 8-neighbor (every
-    higher neighbor contributes a strictly positive (z-zN)^2 weight
-    fraction, fd8FlowAccum.go:356-383), so the headwater set is
-    genuinely computable from the DEM alone; accum < 1 is impossible
-    (loads are non-negative, every valid cell starts at 1)."""
+    """Invariants of distributed FD8 accumulation: the headwater set
+    (no strictly-higher valid 8-neighbor; every higher neighbor
+    contributes a strictly positive (z-zN)^2 weight fraction,
+    fd8FlowAccum.go:356-383) is genuinely computed from the DEM on
+    BOTH sides; accum == 1.0 exactly on that set (no inflow terms at
+    all -> no rounding, so mismatch = 0 is one-directionally safe);
+    accum < 1 is impossible (loads are non-negative, every valid cell
+    starts at 1)."""
     return f"""
     WITH {_dem_off_cte(rows, cols)},
     head AS (
@@ -564,8 +567,9 @@ def fd8_invariants_sql(rows: int, cols: int) -> str:
       HAVING coalesce(sum(CASE WHEN x.value > d.value THEN 1 ELSE 0 END),
                       0) = 0)
     SELECT (SELECT count(*) FROM dem) AS n_cells,
+           CAST(0 AS BIGINT) AS n_below_one,
            (SELECT count(*) FROM head) AS n_headwater,
-           CAST(0 AS BIGINT) AS n_below_one
+           CAST(0 AS BIGINT) AS n_head_accum_mismatch
     """
 
 
