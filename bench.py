@@ -98,12 +98,23 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
 
+    # Partition counts are DATA-SIZED and identical at every cluster
+    # size (the north_rule protocol: the SAME job, only executors
+    # change). Sizing them per-core (4*cpus) made the per-Python-task
+    # bridge overhead (~0.15-0.3 s/task measured, even with worker
+    # reuse) a constant wall-clock floor: task count grew with cores,
+    # so the floor never shrank and small-input stages (ANN) read as
+    # non-scaling. With a fixed count the overhead parallelizes like
+    # the work itself — exactly as on a real cluster, where splits
+    # come from data size, not cluster size.
+    PARTS = 32
+
     if group == "docs":
         from go_spatial_spark.operators.spatial_join import (
             synthetic_polygons)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         docs10m = _replicate(docs, 2048, "doc_id") \
-            .repartition(4 * cpus).cache()
+            .repartition(PARTS).cache()
         counts["n_docs"] = docs10m.count()
         # 128k-vector synthetic corpus: sized so the ANN DAG's
         # per-stage COMPUTE (sqrt(N)-bucket matrix scoring + LSH pair
@@ -116,7 +127,7 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         # duplicate LSH buckets -> 10^8 degenerate candidate pairs,
         # measuring a pathology instead of the engine.
         emb64 = _synthetic_vectors(spark, 128_000, 64) \
-            .repartition(4 * cpus).cache()
+            .repartition(PARTS).cache()
         counts["n_vecs"] = emb64.count()
         pts = geocode(docs10m).select("doc_id", "lat", "lon").cache()
         pts.count()
@@ -128,7 +139,7 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         # of minhash's gram explode) — sized at 320k docs so one run is
         # ~90 core-seconds, not billions of rows
         docs320k = _replicate(docs, 64, "doc_id") \
-            .repartition(4 * cpus).cache()
+            .repartition(PARTS).cache()
         docs320k.count()
         times["simhash_320k"] = _timed(
             "simhash_320k",
@@ -137,9 +148,18 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
             "pip_10M_800poly",
             lambda: point_in_polygon(pts, spark, polygons=poly800).count(),
             trials=2)
+        # release the 10M-doc caches before the ANN workload: cosine
+        # only reads emb64, and co-resident cached text rows measurably
+        # distort it (GC + storage-memory pressure: 40s vs 16s at 4
+        # executors, with per-leg profiles confirming the ANN DAG
+        # itself is unchanged) — per-query isolation, same protocol as
+        # the per-GROUP JVM split.
+        for cached in (docs10m, docs320k, pts):
+            cached.unpersist(blocking=True)
         times["cosine_topk_128k"] = _timed(
             "cosine_topk_128k",
-            lambda: similarity.cosine_topk(emb64).count(), trials=2)
+            lambda: similarity.cosine_topk(emb64, n_rows=counts["n_vecs"]
+                                           ).count(), trials=2)
     else:
         R = C = 16384
         T = 512
@@ -161,15 +181,6 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
                 ctx_extra=extra or None, output="tiles",
                 copartitioned=True).count()
 
-        # 2 warm-ups: C2-compiling the Arrow/cogroup serialization paths
-        # takes ~2 full executions before steady state (measured)
-        times["slope_16384"] = _timed(
-            "slope_16384", st(kernels.slope_kernel, 1),
-            trials=3, warmups=2)
-        times["dev_16384_r16"] = _timed(
-            "dev_16384_r16", st(kernels.deviation_from_mean_kernel, 16,
-                                r=16, k=300.0), trials=3, warmups=2)
-
         # plumbing probe: identical stencil DAG with an identity
         # kernel — isolates the fixed Arrow/cogroup transfer floor
         # from kernel COMPUTE, so BASELINE.md can report kernel-net
@@ -179,8 +190,35 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
             h = padded.shape[0] - 2 * halo
             w = padded.shape[1] - 2 * halo
             return padded[halo:halo + h, halo:halo + w]
+
+        # DAG warmer: C2-compile the Arrow/cogroup serialization paths
+        # in EVERY executor JVM before anything is timed. Under
+        # multi-process executors each JVM sees only 1/n_exec of the
+        # task stream, so compile thresholds take ~n_exec x more
+        # executions to trip than in single-JVM local mode — 2
+        # per-kernel warm-ups left the first timed queries absorbing
+        # compile time at 4 executors (slope, timed first, measured
+        # SLOWER at 4N than N while the identical-DAG probe scaled at
+        # 0.86; kernels themselves are NumPy and need no warm-up).
+        # Warm with the cheapest kernel (noop) until the run-to-run
+        # delta is small, then 1 warm-up per timed query suffices.
+        prev = float("inf")
+        for _ in range(6):
+            t0 = time.perf_counter()
+            st(noop_kernel, 1)()
+            dt = time.perf_counter() - t0
+            if dt > 0.85 * prev:
+                break
+            prev = dt
+
+        times["slope_16384"] = _timed(
+            "slope_16384", st(kernels.slope_kernel, 1),
+            trials=3, warmups=1)
+        times["dev_16384_r16"] = _timed(
+            "dev_16384_r16", st(kernels.deviation_from_mean_kernel, 16,
+                                r=16, k=300.0), trials=3, warmups=1)
         times["noop_16384"] = _timed(
-            "noop_16384", st(noop_kernel, 1), trials=3, warmups=2)
+            "noop_16384", st(noop_kernel, 1), trials=3, warmups=1)
 
     total = round(sum(times.values()), 3)
     out = {"metric": f"scaling_{group}_wall_seconds", "value": total,
@@ -200,8 +238,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("gss-bench", cpus=cpus)
-    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "scaling":
+    scaling = os.environ.get("SPARK_GRAFT_BENCH_MODE") == "scaling"
+    # scaling mode: shuffle partitioning is part of the JOB, so it too
+    # is data-sized and constant across cluster sizes (AQE still
+    # coalesces at runtime); 32 matches the input partitioning (a
+    # higher constant re-inflates the measured ~0.15-0.3 s/Python-task
+    # bridge cost across every stage: 64/64 measured strictly slower
+    # at both cluster sizes).
+    spark = get_spark("gss-bench", cpus=cpus,
+                      shuffle_partitions=32 if scaling else None)
+    if scaling:
         result = scaling_workload(spark, cpus, sf_dir)
         result["sf"] = sf
         print(json.dumps(result))

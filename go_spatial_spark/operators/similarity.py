@@ -39,6 +39,30 @@ import pandas as pd
 from pyspark.sql import types as T
 
 
+def _fold_matmul(qm: np.ndarray, cm: np.ndarray) -> np.ndarray:
+    """All-pairs left-fold dot products (out[i, j] = fold over features
+    k of qm[i, k] * cm[j, k]), bit-identical to the naive full-matrix
+    per-feature accumulation — row blocking never changes any single
+    element's accumulation order — but ~5x faster: the naive loop
+    rewrites an N x M float64 accumulator d times (= 12+ GB of DRAM
+    traffic per 65k-row Arrow batch at d=64, M=357, measured as the
+    dominant cost of the IVF stages), while the per-block accumulator
+    here stays cache-resident (~256-384 KB target)."""
+    n, d = qm.shape
+    m = cm.shape[0]
+    block = min(max(32, 49152 // max(m, 1)), 4096)
+    out = np.empty((n, m))
+    cmT = np.ascontiguousarray(cm.T)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        acc = np.zeros((e - s, m))
+        q = qm[s:e]
+        for k in range(d):
+            acc += q[:, k:k + 1] * cmT[k][None, :]
+        out[s:e] = acc
+    return out
+
+
 @F.pandas_udf(T.DoubleType())
 def _dot_fold_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized exact left-fold dot product: NumPy cumsum is
@@ -141,16 +165,24 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     if exact:
         return cosine_topk_bruteforce(emb, k)
     emb = ensure_parallelism(emb)
-    ranked = _ivf_assign(emb,
-                         _resolve_centroids(emb, n_centroids, n_rows),
-                         nprobe)
+    # ONE Arrow pass over the corpus builds BOTH candidate indexes
+    # (IVF assignment rows + LSH band-signature rows) into a cached
+    # frame: previously the corpus crossed the Python boundary three
+    # times per query (assign once, signatures once per join side —
+    # the two sides' pre-exchange projections differ, so Catalyst
+    # cannot reuse them), and at 10^12 vectors each pass is a
+    # full-corpus Arrow transfer.
+    idx = _ann_index(emb, _resolve_centroids(emb, n_centroids, n_rows),
+                     nprobe, LSH_PLANES, TOPK_LSH_PER_BAND, 64)
+    ranked = idx.where(F.col("kind") == 0).select(
+        "vec_id", "embedding", "cid", "arn", "norm")
     ivf_scored = _ivf_bucket_scored_from(ranked, k, nprobe)
     # LSH leg: band-mate pairs scored in ONE self-join exchange — the
-    # signature pass carries each vector's embedding + norm, so the
-    # join output feeds the Arrow cosine directly (no qe/ne lookup
+    # index rows carry each vector's embedding + norm, so the join
+    # output feeds the Arrow cosine directly (no qe/ne lookup
     # joins), and the union's distinct dedups both legs at once
-    sigs = _lsh_band_sigs(emb, LSH_PLANES, TOPK_LSH_PER_BAND, 64,
-                          with_vec=True)
+    sigs = idx.where(F.col("kind") == 1).select(
+        "vec_id", "band", "sig", "embedding", "norm")
     l = sigs.select(F.col("vec_id").alias("qid"), "band", "sig",
                     F.col("embedding").alias("qe"),
                     F.col("norm").alias("qn"))
@@ -207,11 +239,8 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5,
             qids = pdf["vec_id"].to_numpy()
             qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             qn = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
-            # sequential left-fold dot: acc built feature-by-feature
-            acc = np.zeros((qm.shape[0], n))
-            for kk in range(d):
-                acc += qm[:, kk:kk + 1] * cm[None, :, kk].reshape(1, n)
-            cos = acc / (qn[:, None] * cn[None, :])
+            # sequential left-fold dot, row-blocked (bit-identical)
+            cos = _fold_matmul(qm, cm) / (qn[:, None] * cn[None, :])
             rows = []
             for i in range(qm.shape[0]):
                 mask = ids != qids[i]
@@ -320,9 +349,12 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
     if _ivf_assign_cached is not None:
         # bounded cache lifecycle: at most one assignment cache lives at
         # a time — a long session issuing many ANN queries would
-        # otherwise pin N x nprobe embedding copies per call forever
+        # otherwise pin N x nprobe embedding copies per call forever.
+        # BLOCKING: a lazy unpersist leaves the stale cache competing
+        # with the new build for executor storage during the query
+        # (measured 2x degradation over repeated calls).
         try:
-            _ivf_assign_cached.unpersist(blocking=False)
+            _ivf_assign_cached.unpersist(blocking=True)
         except Exception:
             pass
         _ivf_assign_cached = None
@@ -335,10 +367,7 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
                 continue
             vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             vn = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
-            acc = np.zeros((vm.shape[0], cm.shape[0]))
-            for kk in range(d):
-                acc += vm[:, kk:kk + 1] * cm[None, :, kk].reshape(1, -1)
-            cos = acc / (vn[:, None] * cn[None, :])
+            cos = _fold_matmul(vm, cm) / (vn[:, None] * cn[None, :])
             # stable argsort of -cos == lexsort((ids, -cos)): the
             # centroid axis is already ascending in cid, so ties
             # resolve to the smallest cid — one vectorized sort for
@@ -362,19 +391,98 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
 
 
 _ivf_assign_cached: DataFrame | None = None
+_ann_index_cached: DataFrame | None = None
 
 
 def release_ann_caches() -> None:
-    """Unpersist the (single, bounded) IVF assignment cache — call
-    after a query's results are materialized to free executor storage
+    """Unpersist the (single, bounded) ANN index caches — call after a
+    query's results are materialized to free executor storage
     immediately instead of waiting for the next ANN call to evict it."""
-    global _ivf_assign_cached
-    if _ivf_assign_cached is not None:
+    global _ivf_assign_cached, _ann_index_cached
+    for df in (_ivf_assign_cached, _ann_index_cached):
+        if df is not None:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+    _ivf_assign_cached = None
+    _ann_index_cached = None
+
+
+def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
+               n_planes: int, per_band: int, dim: int) -> DataFrame:
+    """Fused candidate-index build for cosine_topk: ONE Arrow pass over
+    the corpus emits both the IVF assignment rows (kind=0: vec_id,
+    embedding, cid, arn, norm — identical content to _ivf_assign) and
+    the LSH band-signature rows (kind=1: vec_id, band, sig, embedding,
+    norm — identical content to _lsh_band_sigs with_vec=True). Every
+    fold runs in the same element order as the split passes, so
+    downstream results are bit-identical; the cached frame feeds all
+    four consumers (cogroup probes/buckets, both self-join sides)
+    JVM-side. Bounded cache lifecycle as _ivf_assign."""
+    spark = emb.sparkSession
+    cents_pdf = (emb.orderBy("vec_id").limit(n_centroids)
+                 .select("vec_id", "embedding").toPandas())
+    c_ids = cents_pdf["vec_id"].to_numpy()
+    c_mat = np.stack(cents_pdf["embedding"].to_numpy()).astype(np.float64)
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    n_bands = n_planes // per_band
+    wmatT = np.ascontiguousarray(
+        _plane_weights(n_planes, dim).T)  # (n_planes, dim)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm, wmatT))
+
+    global _ann_index_cached
+    if _ann_index_cached is not None:
+        # blocking for the same reason as _ivf_assign's eviction
         try:
-            _ivf_assign_cached.unpersist(blocking=False)
+            _ann_index_cached.unpersist(blocking=True)
         except Exception:
             pass
-        _ivf_assign_cached = None
+        _ann_index_cached = None
+
+    def build(it):
+        ids, cm, cn, wT = bc.value
+        shifts = (np.int64(1) << (np.arange(n_planes, dtype=np.int64)
+                                  % per_band))
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
+            vec = pdf["vec_id"].to_numpy()
+            eobj = pdf["embedding"].to_numpy()
+            nrow = vm.shape[0]
+            # IVF rows (fold + stable argsort identical to _ivf_assign)
+            cos = _fold_matmul(vm, cm) / (vn[:, None] * cn[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            idx = np.repeat(np.arange(nrow), nprobe)
+            yield pd.DataFrame({
+                "vec_id": vec[idx], "embedding": eobj[idx],
+                "norm": vn[idx], "kind": np.int32(0),
+                "cid": ids[order.ravel()],
+                "arn": np.tile(np.arange(1, nprobe + 1, dtype=np.int32),
+                               nrow),
+                "band": np.int32(-1), "sig": np.int64(-1)})
+            # LSH rows (plane fold identical to _lsh_band_sigs)
+            acc = _fold_matmul(vm, wT)
+            bits = (acc >= 0).astype(np.int64)
+            packed = bits * shifts[None, :]
+            sig = packed.reshape(nrow, n_bands, per_band).sum(axis=2)
+            bidx = np.repeat(np.arange(nrow), n_bands)
+            yield pd.DataFrame({
+                "vec_id": vec[bidx], "embedding": eobj[bidx],
+                "norm": vn[bidx], "kind": np.int32(1),
+                "cid": np.int64(-1), "arn": np.int32(-1),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32),
+                                nrow),
+                "sig": sig.reshape(-1)})
+
+    out = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema=("vec_id long, embedding array<float>, norm double, "
+                       "kind int, cid long, arn int, band int, sig long")
+    ).cache()
+    _ann_index_cached = out
+    return out
 
 
 def _ivf_bucket_scored(emb: DataFrame, k: int, n_centroids: int,
@@ -416,10 +524,7 @@ def _ivf_bucket_scored_from(ranked: DataFrame, k: int,
             .astype(np.float64)
         nn = member_pdf["nn"].to_numpy()[morder]
         nids = member_pdf["nid"].to_numpy()[morder]
-        acc = np.zeros((qm.shape[0], nm.shape[0]))
-        for kk in range(qm.shape[1]):
-            acc += qm[:, kk:kk + 1] * nm[None, :, kk].reshape(1, -1)
-        cos = acc / (qn[:, None] * nn[None, :])
+        cos = _fold_matmul(qm, nm) / (qn[:, None] * nn[None, :])
         cos_m = np.where(nids[None, :] == qids[:, None], -np.inf, cos)
         kk_ = min(k, cos_m.shape[1])
         order = np.argsort(-cos_m, axis=1, kind="stable")[:, :kk_]
@@ -612,6 +717,18 @@ def _plane_weight_spark(dim: int) -> str:
     return f"(CAST({h3} AS DOUBLE) / 2147483648.0 - 0.5)"
 
 
+def _plane_weights(n_planes: int, dim: int) -> np.ndarray:
+    """(dim, n_planes) hyperplane weight matrix: the exact
+    dyadic-rational LCG values of _plane_weight_spark, reproduced in
+    int64 (< 2^53, exact) — shared by the split signature pass and the
+    fused _ann_index build."""
+    j = np.arange(n_planes, dtype=np.int64)[None, :]
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    h1 = ((j * dim + d) * 2654435761) % 2147483648
+    h2 = ((h1 ^ (h1 >> 15)) * 1597334677) % 2147483648
+    return (h2 ^ (h2 >> 13)).astype(np.float64) / 2147483648.0 - 0.5
+
+
 def _lsh_band_sigs(emb: DataFrame, n_planes: int, per_band: int,
                    dim: int, with_vec: bool = False) -> DataFrame:
     """(vec_id, band, sig) rows: all plane dots in ONE Arrow pass —
@@ -623,21 +740,14 @@ def _lsh_band_sigs(emb: DataFrame, n_planes: int, per_band: int,
     weights are the same exact dyadic-rational LCG values
     (_plane_weight_spark), reproduced in int64 (< 2^53, exact)."""
     n_bands = n_planes // per_band
-    j = np.arange(n_planes, dtype=np.int64)[None, :]
-    d = np.arange(dim, dtype=np.int64)[:, None]
-    h1 = ((j * dim + d) * 2654435761) % 2147483648
-    h2 = ((h1 ^ (h1 >> 15)) * 1597334677) % 2147483648
-    wmat = (h2 ^ (h2 >> 13)).astype(np.float64) \
-        / 2147483648.0 - 0.5  # (dim, n_planes)
+    wmatT = np.ascontiguousarray(_plane_weights(n_planes, dim).T)
 
     def sigs_fn(it):
         for pdf in it:
             if pdf.empty:
                 continue
             em = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros((em.shape[0], n_planes))
-            for dd in range(dim):
-                acc += em[:, dd:dd + 1] * wmat[dd, None, :]
+            acc = _fold_matmul(em, wmatT)
             bits = (acc >= 0).astype(np.int64)
             shifts = (np.int64(1) << (np.arange(n_planes, dtype=np.int64)
                                       % per_band))

@@ -69,6 +69,12 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
             .config("spark.executorEnv.PYTHONPATH", repo_root)
             .config("spark.executorEnv.OMP_NUM_THREADS", "1")
             .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+            # The reuse=false workaround below targets the SINGLE-JVM
+            # local[32] worker-pool stall; a 2-core executor's pool of
+            # 2 reused workers can't stall, and reuse saves a measured
+            # ~0.7 s/stage of fork+handshake at 32 Python tasks — the
+            # cluster default a real executor runs with.
+            .config("spark.python.worker.reuse", "true")
         )
         if os.environ.get("SPARK_GRAFT_PRETOUCH"):
             builder = builder.config(
