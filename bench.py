@@ -203,11 +203,15 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         # Warm with the cheapest kernel (noop) until the run-to-run
         # delta is small, then 1 warm-up per timed query suffices.
         prev = float("inf")
-        for _ in range(6):
+        stable = 0
+        for _ in range(8):
             t0 = time.perf_counter()
             st(noop_kernel, 1)()
             dt = time.perf_counter() - t0
-            if dt > 0.85 * prev:
+            # warm = two CONSECUTIVE runs within 15% of the previous
+            # (a single small delta can be noise while still cold)
+            stable = stable + 1 if dt > 0.85 * prev else 0
+            if stable >= 2:
                 break
             prev = dt
 

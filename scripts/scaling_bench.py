@@ -77,7 +77,30 @@ def run_group(group: str, sf_dir: str, cpus: int,
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"bench.py failed for {group} @ {master or cpus}")
     line = out.stdout.strip().splitlines()[-1]
+    _wait_jvm_teardown()
     return json.loads(line)
+
+
+def _wait_jvm_teardown(max_wait: float = 60.0) -> None:
+    """Block until the previous group's executor JVMs are gone.
+
+    bench.py exits without spark.stop(); local-cluster worker JVMs
+    (tens of GB of pre-touched heap each) tear down ASYNCHRONOUSLY
+    after the driver dies. Starting the next group while they still
+    hold memory measurably distorts its first timed queries (slope at
+    4N measured 20 s in the back-to-back suite vs 5.4 s in isolation).
+    A real N->4N comparison runs on quiet nodes; so must this one."""
+    import time
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        try:
+            n = subprocess.run(["pgrep", "-c", "java"],
+                               capture_output=True, text=True)
+            if n.returncode != 0 or int(n.stdout.strip() or 0) == 0:
+                return
+        except Exception:
+            return
+        time.sleep(1.0)
 
 
 def geomean(vals):

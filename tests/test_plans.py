@@ -117,3 +117,33 @@ def test_ngram_pipeline_shares_gram_exchange(spark, sf001):
         assert "InMemoryTableScan" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_cosine_topk_single_corpus_arrow_pass(spark, sf001):
+    """The fused ANN index (similarity._ann_index) must be the ONLY
+    mapInPandas over the corpus in cosine_topk's plan: one distinct
+    MapInPandas function instance (inside the cached index, its plan
+    text repeated under every InMemoryTableScan), with the consumers
+    (cogroup probes / buckets, both self-join sides) reading the cache
+    JVM-side. A second distinct instance means a consumer re-runs a
+    full-corpus Arrow transfer — the regression this test locks out.
+
+    The MapInPandas node prints no plan_id; its identity is the result
+    attribute id of the UDF call (``build(...)#4``) — identical across
+    cache re-displays, distinct per re-execution."""
+    import re
+
+    from go_spatial_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    try:
+        df = similarity.cosine_topk(emb)
+        plan = _plan(df)
+        ids = {m.group(1) for m in re.finditer(
+            r"MapInPandas \w+\([^)]*\)(#\d+)", plan)}
+        assert len(ids) == 1, plan
+        assert "InMemoryTableScan" in plan
+        # candidate scoring stays Arrow-vectorized, never row-Python
+        assert "BatchEvalPython" not in plan
+    finally:
+        similarity.release_ann_caches()
