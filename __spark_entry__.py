@@ -346,6 +346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: textstats.lang_id(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: textstats.fingerprint(_docs(spark, sf))
 
+    # --- corpus-level analytics (TF-IDF / decontamination / repetition) ---
+    from go_spatial_spark.operators import corpus
+    q["tfidf_topk"] = lambda spark, sf: corpus.tfidf_topk(_docs(spark, sf))
+    q["decontaminate"] = lambda spark, sf: corpus.decontaminate(
+        _docs(spark, sf))
+    q["repetition_stats"] = lambda spark, sf: corpus.repetition_stats(
+        _docs(spark, sf))
+
     # --- multimodal binary columns (stub codec, real Arrow plumbing) ---
     from go_spatial_spark.operators import multimodal
     q["multimodal_featurize"] = lambda spark, sf: \
@@ -517,6 +525,10 @@ def oracle_sql() -> dict[str, str]:
     o["quality_score"] = textstats.quality_score_oracle_sql()
     o["lang_id"] = textstats.lang_id_oracle_sql()
     o["fingerprint"] = textstats.fingerprint_oracle_sql()
+    from go_spatial_spark.operators import corpus
+    o["tfidf_topk"] = corpus.tfidf_topk_oracle_sql()
+    o["decontaminate"] = corpus.decontaminate_oracle_sql()
+    o["repetition_stats"] = corpus.repetition_stats_oracle_sql()
     from go_spatial_spark.operators import multimodal
     o["multimodal_featurize"] = multimodal.featurize_oracle_sql()
     o["multimodal_ppm"] = multimodal.featurize_oracle_sql(

@@ -1,0 +1,227 @@
+"""Corpus-level text analytics for the training-data pipeline layer:
+TF-IDF keyword extraction, eval-set decontamination, Gopher-style
+repetition signals.
+
+All three are pure-Catalyst plans (explode + hash-agg + equi-join —
+no Python in the hot path) with DuckDB-oracle twins built from the
+same deterministic expressions.
+
+Scale shapes (the 100 TB contract):
+
+* ``tfidf_topk``: two hash aggregations (map-side partial) plus one
+  equi-join on ``token`` — the join's shuffle is bounded by VOCABULARY
+  size, not corpus size, and AQE broadcasts the document-frequency
+  side when it is small. The top-k is a per-doc window (partitioned
+  by doc_id, no global sort).
+* ``decontaminate``: the probe (eval-set) gram dimension is tiny by
+  construction and is broadcast explicitly — the corpus side never
+  shuffles; per-doc overlap is a hash re-aggregation on doc_id.
+* ``repetition_stats``: per-doc only — hash aggs keyed by
+  (doc_id, token) then doc_id; embarrassingly parallel.
+
+Determinism note: no transcendental functions anywhere. The tf-idf
+score uses the LINEAR rarity weight ``tf * N / df`` (computed as
+``CAST(tf * N AS DOUBLE) / df`` — integer products are exact, IEEE
+division is correctly rounded in both engines) instead of
+``tf * ln(N/df)``: JVM ``Math.log`` and libm ``log`` may differ in the
+last ulp, which would break the cross-engine value-hash gate. The
+ranking intent (frequent-here, rare-overall) is preserved; the
+docstring is the contract.
+"""
+
+from __future__ import annotations
+
+from go_spatial_spark.operators.dedup import NGRAM, _grams, _grams_sql
+from go_spatial_spark.session import ensure_parallelism
+from pyspark.sql import DataFrame, Window, functions as F
+
+# probe ("eval set") membership: deterministic, engine-agnostic
+PROBE_MOD = 97
+CONTAM_THRESHOLD = 0.5
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic tokens per document, ranked by
+    ``tf * N / df`` (linear-idf tf-idf; see module docstring), ties
+    broken by token ascending.
+
+    N (corpus size) is a single count() job collapsed to one scalar —
+    one scan, reused for every row via a literal.
+    """
+    docs = ensure_parallelism(docs)
+    n_docs = docs.count()
+    toks = (docs.select("doc_id", F.explode(F.split("text", " "))
+                        .alias("token")))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(df_, "token")
+              .select("doc_id", "token", "tf", "df",
+                      ((F.col("tf") * F.lit(n_docs)).cast("double")
+                       / F.col("df")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "rank", "token", "tf", "df", "score"))
+
+
+def tfidf_topk_oracle_sql(docs_tbl: str = "documents", k: int = 5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM {docs_tbl}),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks GROUP BY doc_id, token),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM {docs_tbl}),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token ASC) AS rank
+      FROM scored)
+    SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, score
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def probe_set(docs: DataFrame) -> DataFrame:
+    """The deterministic stand-in eval set: every PROBE_MOD-th doc."""
+    return docs.where(F.col("doc_id") % PROBE_MOD == 0)
+
+
+def decontaminate(docs: DataFrame, probe: DataFrame | None = None,
+                  n_gram: int = NGRAM,
+                  threshold: float = CONTAM_THRESHOLD) -> DataFrame:
+    """Benchmark decontamination: per-doc fraction of DISTINCT word
+    n-grams that also appear in the probe (eval) corpus; docs at or
+    above ``threshold`` are flagged.
+
+    The probe gram dimension is broadcast (eval sets are thousands of
+    docs; the corpus is trillions) — the corpus gram stream joins it
+    map-side, then re-aggregates on doc_id. Probe docs themselves are
+    excluded from the scored output (they trivially self-overlap).
+    """
+    docs = ensure_parallelism(docs)
+    if probe is None:
+        probe = probe_set(docs)
+    pg = _grams(probe, n_gram).select("gram").distinct()
+    dg = (_grams(docs.join(probe.select("doc_id"), "doc_id",
+                           "left_anti"), n_gram)
+          .select("doc_id", "gram").distinct())
+    hit = (dg.join(F.broadcast(pg.withColumn("hit", F.lit(1))),
+                   "gram", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_grams"),
+                F.count("hit").alias("n_overlap")))
+    frac = F.col("n_overlap").cast("double") / F.col("n_grams")
+    return hit.select(
+        "doc_id", "n_grams", "n_overlap", frac.alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"))
+
+
+def decontaminate_oracle_sql(docs_tbl: str = "documents",
+                             n_gram: int = NGRAM,
+                             threshold: float = CONTAM_THRESHOLD) -> str:
+    return f"""
+    WITH pg AS (
+      SELECT DISTINCT unnest({_grams_sql(n_gram)}) AS gram
+      FROM {docs_tbl}
+      WHERE doc_id % {PROBE_MOD} = 0
+        AND len(string_split(text, ' ')) >= {n_gram}),
+    dg AS (
+      SELECT DISTINCT doc_id, unnest({_grams_sql(n_gram)}) AS gram
+      FROM {docs_tbl}
+      WHERE doc_id % {PROBE_MOD} <> 0
+        AND len(string_split(text, ' ')) >= {n_gram}),
+    hit AS (
+      SELECT dg.doc_id, count(*) AS n_grams,
+             count(pg.gram) AS n_overlap
+      FROM dg LEFT JOIN pg USING (gram)
+      GROUP BY dg.doc_id)
+    SELECT doc_id, n_grams, n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_grams AS overlap_frac,
+           CAST(n_overlap AS DOUBLE) / n_grams >= {threshold}
+             AS contaminated
+    FROM hit
+    """
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    * ``dup_word_frac``  — fraction of tokens that are repeats of an
+      earlier token type: (n_tokens - n_distinct) / n_tokens
+    * ``top_word_frac``  — occupancy of the single most frequent
+      token: max type count / n_tokens
+    * ``dup_2gram_frac`` — same repeat fraction over word 2-grams
+
+    (cf. Rae et al. 2021 "Scaling Language Models" §A1.1 repetition
+    filters.) All fractions are exact IEEE divisions of integer
+    counts — cross-engine hash-stable.
+    """
+    docs = ensure_parallelism(docs)
+    toks = (docs.select("doc_id", F.explode(F.split("text", " "))
+                        .alias("token")))
+    tc = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    words = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"))
+    gc = (_grams(docs, 2).groupBy("doc_id", "gram")
+          .agg(F.count("*").alias("c")))
+    grams = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"),
+        F.count("*").alias("n_distinct_2grams"))
+    return (words.join(grams, "doc_id", "left")
+            .select(
+                "doc_id",
+                ((F.col("n_tokens") - F.col("n_distinct"))
+                 .cast("double") / F.col("n_tokens"))
+                .alias("dup_word_frac"),
+                (F.col("top_c").cast("double") / F.col("n_tokens"))
+                .alias("top_word_frac"),
+                F.coalesce(
+                    (F.col("n_2grams") - F.col("n_distinct_2grams"))
+                    .cast("double") / F.col("n_2grams"),
+                    F.lit(0.0)).alias("dup_2gram_frac")))
+
+
+def repetition_stats_oracle_sql(docs_tbl: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM {docs_tbl}),
+    tc AS (
+      SELECT doc_id, token, count(*) AS c
+      FROM toks GROUP BY doc_id, token),
+    words AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+             max(c) AS top_c
+      FROM tc GROUP BY doc_id),
+    g AS (
+      SELECT doc_id, unnest({_grams_sql(2)}) AS gram
+      FROM {docs_tbl}
+      WHERE len(string_split(text, ' ')) >= 2),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM g GROUP BY doc_id, gram),
+    grams AS (
+      SELECT doc_id, sum(c) AS n_2grams,
+             count(*) AS n_distinct_2grams
+      FROM gc GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(w.n_tokens - w.n_distinct AS DOUBLE) / w.n_tokens
+             AS dup_word_frac,
+           CAST(w.top_c AS DOUBLE) / w.n_tokens AS top_word_frac,
+           coalesce(CAST(gr.n_2grams - gr.n_distinct_2grams AS DOUBLE)
+                    / gr.n_2grams, 0.0) AS dup_2gram_frac
+    FROM words w LEFT JOIN grams gr USING (doc_id)
+    """

@@ -158,9 +158,19 @@ def dev_from_mean_traditional(dem: DataFrame, r: int = 8) -> DataFrame:
     exploded-offset EQUI-join (offsets generated by an in-row
     explode(sequence(...)) — no join, stays inside whole-stage
     codegen; the neighbor lookup is a hash join on shifted (row, col)
-    keys — never a nested-loop range join), grouped per cell. The integral-image edge quirk (global row 0 / col 0 never
-    contribute, deviationFromMean.go:300-330) is reproduced by the
-    nr>=1/nc>=1 join predicate. Exact cross-engine: window sums of the
+    keys — never a nested-loop range join), grouped per cell.
+
+    Edge semantics — deliberate divergence from the literal
+    traditional tool: this op is the brute-force TWIN of the
+    integral-image ``dev_from_mean`` (so the two share one oracle and
+    can be cross-checked cell-for-cell), and therefore reproduces the
+    integral-image edge quirk (global row 0 / col 0 never contribute,
+    deviationFromMean.go:300-330) via the nr>=1/nc>=1 join predicate.
+    The literal DeviationFromMeanTraditional tool instead scans the
+    full window including row/col 0 and zeroes output when n <= 2
+    (deviationFromMeanTraditionalMethod.go:174-299) — at every
+    interior cell the two agree; they differ only in the first
+    row/column band. Exact cross-engine: window sums of the
     dyadic-rational DEM are order-free exact (see module docstring).
     """
     mn, mx = dem.agg(F.min("value"), F.max("value")).first()

@@ -147,3 +147,35 @@ def test_cosine_topk_single_corpus_arrow_pass(spark, sf001):
         assert "BatchEvalPython" not in plan
     finally:
         similarity.release_ann_caches()
+
+
+def test_decontaminate_broadcasts_probe_grams(spark, sf001):
+    """The probe (eval-set) gram dimension must broadcast — the
+    trillion-doc corpus side never shuffles on gram; per-doc overlap
+    re-aggregates on doc_id only."""
+    from go_spatial_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(corpus.decontaminate(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # corpus side must not hash-partition on gram for the probe join
+    # (the only gram exchange allowed is the distinct() pre-agg)
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_join_is_hash_join(spark, sf001):
+    """tf x df joins on token: an equi-join (shuffle bounded by vocab
+    size) or AQE-broadcast df side — never a nested loop; top-k is a
+    per-doc window, no global sort."""
+    from go_spatial_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(corpus.tfidf_topk(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the window's sort is a per-partition sort under the doc_id
+    # exchange, never a global Exchange rangepartitioning
+    assert "rangepartitioning" not in plan.lower(), plan
