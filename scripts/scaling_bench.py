@@ -81,7 +81,7 @@ def run_group(group: str, sf_dir: str, cpus: int,
     return json.loads(line)
 
 
-def _wait_jvm_teardown(max_wait: float = 60.0) -> None:
+def _wait_jvm_teardown(max_wait: float = 180.0) -> None:
     """Block until the previous group's executor JVMs are gone.
 
     bench.py exits without spark.stop(); local-cluster worker JVMs
@@ -101,6 +101,9 @@ def _wait_jvm_teardown(max_wait: float = 60.0) -> None:
         except Exception:
             return
         time.sleep(1.0)
+    print("[scaling] WARNING: executor JVMs still alive after "
+          f"{max_wait:.0f}s teardown wait — next group may be "
+          "distorted", file=sys.stderr, flush=True)
 
 
 def geomean(vals):
