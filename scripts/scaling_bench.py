@@ -76,6 +76,12 @@ def run_group(group: str, sf_dir: str, cpus: int,
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"bench.py failed for {group} @ {master or cpus}")
+    # tee the per-query trial traces into our own log — the per-trial
+    # spread (not just the reported min) is what distinguishes 'one
+    # cold run' from 'this session was sick'
+    for ln in out.stderr.splitlines():
+        if ln.startswith("[bench]"):
+            print(ln, file=sys.stderr, flush=True)
     line = out.stdout.strip().splitlines()[-1]
     _wait_jvm_teardown()
     return json.loads(line)
@@ -126,6 +132,9 @@ def run_cluster_mode(sf_dir: str):
                   file=sys.stderr, flush=True)
             r = run_group(group, sf_dir, total_cores, master=master)
             merged.update(r["queries"])
+            for q, tr in r.get("trials", {}).items():
+                meta.setdefault("trials", {}).setdefault(
+                    q, {})[n_exec] = tr
             for key in ("n_docs", "n_vecs", "n_tiles",
                         "docs_per_sec", "tiles_per_sec"):
                 if key in r:
@@ -227,7 +236,8 @@ def main() -> None:
     print(json.dumps({"mode": "cluster",
                       "efficiency_N_4N_geomean": headline,
                       "eff_N_4N": eff,
-                      "seconds_N": r_n, "seconds_4N": r_4n}))
+                      "seconds_N": r_n, "seconds_4N": r_4n,
+                      "trials": meta.get("trials", {})}))
 
 
 def run_threads_mode(sf_dir: str) -> None:
