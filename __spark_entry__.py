@@ -365,6 +365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.decode_and_featurize(
             multimodal.synthetic_ppm_media(spark, _docs(spark, sf)),
             fake=False, codec="ppm")
+    # REAL audio codec path: payloads are genuine RIFF/PCM16 WAV files
+    # decoded by the pure-NumPy chunk walker (second real modality)
+    q["multimodal_wav"] = lambda spark, sf: \
+        multimodal.audio_featurize(
+            multimodal.synthetic_wav_media(spark, _docs(spark, sf)))
 
     # --- web-corpus curation (host accounting / sampling / filtering) ---
     from go_spatial_spark.operators import webcurate
@@ -533,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_featurize"] = multimodal.featurize_oracle_sql()
     o["multimodal_ppm"] = multimodal.featurize_oracle_sql(
         kind_expr="'image'")
+    o["multimodal_wav"] = multimodal.audio_featurize_oracle_sql()
     from go_spatial_spark.operators import webcurate
     o["host_stats"] = webcurate.host_stats_oracle_sql()
     o["quota_sample"] = webcurate.quota_sample_oracle_sql()

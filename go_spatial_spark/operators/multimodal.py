@@ -302,3 +302,139 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2,
                              F.col("payload").cast("string"),
                              F.col("frame_idx").cast("string"))
                          ).alias("frame_key"))
+
+
+# --- real codec #2: WAV (RIFF/PCM16), pure NumPy --------------------------
+# The audio twin of the PPM path: canonical 44-byte RIFF header + PCM16
+# little-endian frames is a public spec decodable with frombuffer, so a
+# second modality gets a REAL decode end to end. MP3/AAC/FLAC remain
+# honest stubs (no ffmpeg in the container).
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF/WAVE PCM16 bytes (canonical
+    44-byte header, little-endian throughout)."""
+    import struct
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                    byte_rate, ch * 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> ((n, ch) int16, sample_rate). Walks the
+    chunk list (fmt /data may be preceded by LIST etc. per the RIFF
+    spec); rejects non-PCM16 encodings."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n_ch, rate, bits = 12, None, None, None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        sz = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        body = payload[i + 8:i + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM16 WAV is supported (no ffmpeg in "
+                    "this container)")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if data is None or n_ch is None:
+        raise ValueError("missing fmt /data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, n_ch), rate
+
+
+def synthetic_wav_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL mono PCM16 WAV files:
+    sample[i] = (md5pattern(text)[i] - 128) * 256 over n = doc_id %
+    2048 + 256 samples — the same md5-seeded byte pattern as the image
+    paths, so the DuckDB oracle recomputes every sample exactly."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                did = int(t.doc_id)
+                n = did % 2048 + 256
+                seed = hashlib.md5(t.text.encode("utf-8")).digest()
+                base = np.frombuffer(seed * (n // 16 + 1),
+                                     dtype=np.uint8)[:n]
+                samples = (base.astype(np.int16) - 128) * 256
+                rows.append((did, "audio",
+                             encode_wav(samples, 16000),
+                             {"width": 0, "height": 0, "channels": 1,
+                              "sample_rate": 16000, "n_frames": 1}))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "payload", "meta"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def audio_featurize(media: DataFrame) -> DataFrame:
+    """WAV media -> per-item integer-exact features: sample count,
+    mean amplitude (one IEEE division of an int sum), peak |amp|, and
+    zero-crossing count (adjacent sign-bit flips, sign(x) := x >= 0).
+    All reduce to int64 sums/extrema of int16 samples — order-free
+    exact, so the DuckDB oracle matches bitwise."""
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                arr, rate = decode_wav(bytes(t.payload))
+                s = arr[:, 0].astype(np.int64)
+                nonneg = s >= 0
+                rows.append((
+                    t.doc_id, int(s.shape[0]), rate,
+                    float(s.sum()) / s.shape[0],
+                    int(np.abs(s).max()),
+                    int((nonneg[1:] != nonneg[:-1]).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "sample_rate", "mean_amp",
+                "peak_amp", "zero_crossings"])
+
+    return media.mapInPandas(
+        run, schema=("doc_id long, n_samples long, sample_rate int, "
+                     "mean_amp double, peak_amp long, "
+                     "zero_crossings long"))
+
+
+def audio_featurize_oracle_sql(docs_tbl: str = "documents") -> str:
+    """DuckDB replica of synthetic_wav_media + decode_wav +
+    audio_featurize: sample i of doc d is (md5(text)[i % 16] - 128)
+    * 256 over n = doc_id % 2048 + 256 samples; all aggregates are
+    integer; mean_amp mirrors the kernel's single division."""
+    byte = ("('0x' || substring(hx, CAST(2 * (i % 16) AS INT) + 1, 2))"
+            "::INT")
+    return f"""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(doc_id % 2048 + 256 AS BIGINT) AS n
+      FROM {docs_tbl}),
+    s AS (
+      SELECT m.doc_id, m.n, t.i,
+             CAST(({byte} - 128) * 256 AS BIGINT) AS amp
+      FROM m CROSS JOIN range(0, 2304) t(i)
+      WHERE t.i < m.n),
+    x AS (
+      SELECT doc_id, n, i, amp,
+             lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM s)
+    SELECT doc_id, max(n) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(sum(amp) AS DOUBLE) / max(n) AS mean_amp,
+           max(abs(amp)) AS peak_amp,
+           sum(CASE WHEN prev IS NOT NULL
+                     AND ((amp >= 0) <> (prev >= 0))
+               THEN 1 ELSE 0 END) AS zero_crossings
+    FROM x GROUP BY doc_id
+    """

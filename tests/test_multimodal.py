@@ -70,3 +70,50 @@ def test_ppm_featurize_matches_fake(spark):
     a = {tuple(r) for r in fake.collect()}
     b = {tuple(r) for r in real.collect()}
     assert a == b and len(a) == 60
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from go_spatial_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+    s = np.array([[0, -32768], [32767, 5], [-1, 1]], dtype=np.int16)
+    arr, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100
+    assert np.array_equal(arr, s)
+    # chunk walker: a LIST chunk before fmt /data must be skipped
+    import struct
+    raw = encode_wav(s[:, :1], 8000)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:12] + extra + raw[12:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    arr2, rate2 = decode_wav(patched)
+    assert rate2 == 8000 and np.array_equal(arr2, s[:, :1])
+
+
+def test_wav_rejects_non_pcm16():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from go_spatial_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+    raw = bytearray(encode_wav(np.zeros(8, dtype=np.int16), 8000))
+    raw[20:22] = struct.pack("<H", 3)  # IEEE float tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(raw))
+
+
+def test_wav_featurize_values(spark, sf001):
+    from go_spatial_spark.operators.multimodal import (
+        audio_featurize, synthetic_wav_media)
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").limit(10)
+    out = audio_featurize(synthetic_wav_media(spark, docs)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_samples == r.doc_id % 2048 + 256
+        assert r.sample_rate == 16000
+        assert 0 <= r.peak_amp <= 32768
+        assert 0 <= r.zero_crossings < r.n_samples
