@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["repetition_stats"] = lambda spark, sf: corpus.repetition_stats(
         _docs(spark, sf))
+    q["pack_shards"] = lambda spark, sf: corpus.pack_shards(
+        _docs(spark, sf), tokens_per_shard=10_000)
+    q["train_val_test_split"] = lambda spark, sf: \
+        corpus.train_val_test_split(_docs(spark, sf))
 
     # --- multimodal binary columns (stub codec, real Arrow plumbing) ---
     from go_spatial_spark.operators import multimodal
@@ -534,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
     o["tfidf_topk"] = corpus.tfidf_topk_oracle_sql()
     o["decontaminate"] = corpus.decontaminate_oracle_sql()
     o["repetition_stats"] = corpus.repetition_stats_oracle_sql()
+    o["pack_shards"] = corpus.pack_shards_oracle_sql(
+        tokens_per_shard=10_000)
+    o["train_val_test_split"] = corpus.train_val_test_split_oracle_sql()
     from go_spatial_spark.operators import multimodal
     o["multimodal_featurize"] = multimodal.featurize_oracle_sql()
     o["multimodal_ppm"] = multimodal.featurize_oracle_sql(

@@ -225,3 +225,86 @@ def repetition_stats_oracle_sql(docs_tbl: str = "documents") -> str:
                     / gr.n_2grams, 0.0) AS dup_2gram_frac
     FROM words w LEFT JOIN grams gr USING (doc_id)
     """
+
+
+def pack_shards(docs: DataFrame,
+                tokens_per_shard: int = 100_000) -> DataFrame:
+    """Training-shard packing: assign each doc (in doc_id order) to a
+    fixed-token-budget shard by running token count —
+    shard_id = (cumulative_tokens - n_tokens) // tokens_per_shard
+    (greedy sequential packing; a shard may overflow by at most one
+    document, never undershoot out of order).
+
+    Scale shape: the running sum is a window over a GLOBAL order —
+    Spark executes it as a range-partitioned sort (the TeraSort
+    shape): each partition computes local prefix sums after a
+    rangepartitioning exchange, so no single node ever holds the
+    corpus. This is the one deliberately-global op in the pipeline
+    layer; its output is what the training job's data loader consumes.
+    """
+    docs = ensure_parallelism(docs)
+    n_tok = F.size(F.split("text", " "))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    d = docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
+    # integer division (both engines floor non-negative ints the same
+    # way); a double division + cast would TRUNCATE in Spark but
+    # ROUND in DuckDB — cross-engine hash breakage
+    return (d.withColumn("cum", F.sum("n_tokens").over(w))
+            .select("doc_id", "n_tokens",
+                    F.expr(f"(cum - n_tokens) div {tokens_per_shard}")
+                    .alias("shard_id")))
+
+
+def pack_shards_oracle_sql(docs_tbl: str = "documents",
+                           tokens_per_shard: int = 100_000) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM {docs_tbl}),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {tokens_per_shard} AS BIGINT)
+             AS shard_id
+    FROM c
+    """
+
+
+def train_val_test_split(docs: DataFrame, val_pct: int = 10,
+                         test_pct: int = 10) -> DataFrame:
+    """Deterministic, engine-agnostic dataset split on a CONTENT hash
+    (md5(text) bucket 0..99): same document always lands in the same
+    split regardless of doc_id renumbering or corpus growth — the
+    property that keeps eval sets stable across re-crawls. Embarrass-
+    ingly parallel (no shuffle at all: one projection).
+    """
+    from go_spatial_spark.operators.webcurate import _md5_bucket
+    docs = ensure_parallelism(docs)
+    b = _md5_bucket(F.col("text")).cast("int")
+    train_lim = 100 - val_pct - test_pct
+    split = (F.when(b < train_lim, "train")
+             .when(b < train_lim + val_pct, "val").otherwise("test"))
+    return docs.select("doc_id", b.alias("bucket"),
+                       split.alias("split"))
+
+
+def train_val_test_split_oracle_sql(docs_tbl: str = "documents",
+                                    val_pct: int = 10,
+                                    test_pct: int = 10) -> str:
+    train_lim = 100 - val_pct - test_pct
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT % 100
+                  AS INT) AS bucket
+      FROM {docs_tbl})
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {train_lim} THEN 'train'
+                WHEN bucket < {train_lim + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """

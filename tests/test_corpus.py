@@ -81,3 +81,31 @@ def test_repetition_single_token_doc(spark):
     out = corpus.repetition_stats(docs).collect()
     assert len(out) == 1
     assert out[0].dup_2gram_frac == 0.0
+
+
+def test_pack_shards_sequential_budget(spark):
+    docs = _docs(spark, [(0, "a b c"), (1, "d e"), (2, "f g h i"),
+                         (3, "j")])
+    out = {r.doc_id: r.shard_id
+           for r in corpus.pack_shards(docs, tokens_per_shard=5)
+           .collect()}
+    # cum-starts: 0,3,5,9 -> shards 0,0,1,1
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_pack_shards_monotone(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    rows = (corpus.pack_shards(docs, tokens_per_shard=1000)
+            .orderBy("doc_id").collect())
+    sid = [r.shard_id for r in rows]
+    assert sid == sorted(sid)  # shard ids never go backwards
+    assert sid[0] == 0
+
+
+def test_split_is_content_stable(spark):
+    # same text -> same split regardless of doc_id
+    docs = _docs(spark, [(1, "stable content here"),
+                         (99999, "stable content here")])
+    out = corpus.train_val_test_split(docs).collect()
+    assert len({r.split for r in out}) == 1
+    assert len({r.bucket for r in out}) == 1
