@@ -150,7 +150,7 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         poly800 = synthetic_polygons(800)
         times["minhash_10M"] = _timed(
             "minhash_10M",
-            lambda: dedup.minhash_signatures(docs10m).count(), trials=2)
+            lambda: dedup.minhash_signatures(docs10m).count(), trials=3)
         # simhash explodes tokens x 60 bit-planes (~60x the row volume
         # of minhash's gram explode) — sized at 320k docs so one run is
         # ~90 core-seconds, not billions of rows
@@ -159,7 +159,7 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         docs320k.count()
         times["simhash_320k"] = _timed(
             "simhash_320k",
-            lambda: dedup.simhash(docs320k).count(), trials=2)
+            lambda: dedup.simhash(docs320k).count(), trials=3)
         # per-query cache isolation (same protocol as the per-GROUP
         # JVM split): each query holds ONLY the caches it reads.
         # Co-resident cached text rows measurably distort later
@@ -174,12 +174,12 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         times["pip_10M_800poly"] = _timed(
             "pip_10M_800poly",
             lambda: point_in_polygon(pts, spark, polygons=poly800).count(),
-            trials=2)
+            trials=3)
         pts.unpersist(blocking=True)
         times["cosine_topk_128k"] = _timed(
             "cosine_topk_128k",
             lambda: similarity.cosine_topk(emb64, n_rows=counts["n_vecs"]
-                                           ).count(), trials=2)
+                                           ).count(), trials=3)
     else:
         R = C = 16384
         T = 512
@@ -276,6 +276,11 @@ def main() -> None:
         result = scaling_workload(spark, cpus, sf_dir)
         result["sf"] = sf
         print(json.dumps(result))
+        # Exiting WITHOUT spark.stop() leaves the standalone master
+        # relaunch-storming executors for the dying app (measured:
+        # 2,233 launches in 17 s, each -Xms-committing 22 GB) — a
+        # memory/fork stampede right when the next group starts.
+        spark.stop()
         return
 
     par = spark.sparkContext.defaultParallelism

@@ -31,8 +31,16 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
     # N -> 4N cluster scale-out actually adds. cpus should then be the
     # TOTAL core count (n*c) so shuffle partitioning is sized the same.
     master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    builder = SparkSession.builder.master(master)
+    # $SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs, applied
+    # first so named configs below still win — a probe hook for
+    # benchmark A/B experiments without code edits.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -52,7 +60,9 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
         # per-worker import cost that made reuse=false expensive
         # (measured: 1024^2 stencil 2.1s -> 1.2s, Arrow cosine stage
         # 4s -> 1.3s at local[32], stable across trials)
-        .config("spark.python.daemon.module", "go_spatial_spark.daemon")
+        .config("spark.python.daemon.module",
+                os.environ.get("SPARK_GRAFT_DAEMON",
+                               "go_spatial_spark.daemon"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
@@ -74,7 +84,11 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
             # 2 reused workers can't stall, and reuse saves a measured
             # ~0.7 s/stage of fork+handshake at 32 Python tasks — the
             # cluster default a real executor runs with.
-            .config("spark.python.worker.reuse", "true")
+            # SPARK_GRAFT_WORKER_REUSE overrides for A/B probes of the
+            # intermittent reused-worker handoff stall (see PLANS.md
+            # round-3 scaling notes).
+            .config("spark.python.worker.reuse",
+                    os.environ.get("SPARK_GRAFT_WORKER_REUSE", "true"))
         )
         if os.environ.get("SPARK_GRAFT_PRETOUCH"):
             builder = builder.config(
