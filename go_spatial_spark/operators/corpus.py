@@ -228,32 +228,69 @@ def repetition_stats_oracle_sql(docs_tbl: str = "documents") -> str:
 
 
 def pack_shards(docs: DataFrame,
-                tokens_per_shard: int = 100_000) -> DataFrame:
+                tokens_per_shard: int = 100_000,
+                buckets: int | None = None) -> DataFrame:
     """Training-shard packing: assign each doc (in doc_id order) to a
     fixed-token-budget shard by running token count —
     shard_id = (cumulative_tokens - n_tokens) // tokens_per_shard
     (greedy sequential packing; a shard may overflow by at most one
     document, never undershoot out of order).
 
-    Scale shape: the running sum is a window over a GLOBAL order —
-    Spark executes it as a range-partitioned sort (the TeraSort
-    shape): each partition computes local prefix sums after a
-    rangepartitioning exchange, so no single node ever holds the
-    corpus. This is the one deliberately-global op in the pipeline
-    layer; its output is what the training job's data loader consumes.
+    Scale shape — TWO-PHASE DISTRIBUTED PREFIX SUM (a naive
+    ``Window.orderBy("doc_id")`` with no partitionBy compiles to
+    ``Exchange SinglePartition``: one task sorts and prefix-sums the
+    entire corpus — the round-3 verdict's confirmed scale-killer):
+
+    1. bucket docs by contiguous doc_id range (pure arithmetic —
+       ``(doc_id - min) div span`` — so bucket order IS doc_id order
+       and no range-sampling job is needed);
+    2. per-bucket local prefix sum (window partitioned by bucket:
+       ONE parallel hashpartitioning exchange, each bucket a task);
+    3. per-bucket token totals (map-side partial agg, `buckets` rows)
+       are collected to the driver, scanned into exclusive prefix
+       offsets, and broadcast-joined back;
+    4. cum = local_cum + bucket_offset — identical output to the
+       global window, but no task ever holds more than ~1/buckets of
+       the corpus.
+
+    The totals pass re-scans the projection (doc_id, n_tokens); at
+    cluster scale either accept the second columnar scan (it prunes
+    to two columns) or persist the projection before calling.
+    tests/test_plans.py asserts the executed plan has NO
+    Exchange SinglePartition.
     """
     docs = ensure_parallelism(docs)
+    spark = docs.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_tok = F.size(F.split("text", " "))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
     d = docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
+    bounds = d.agg(F.min("doc_id").alias("lo"),
+                   F.max("doc_id").alias("hi")).first()
+    if bounds.lo is None:  # empty corpus
+        return d.withColumn("shard_id", F.lit(None).cast("long"))
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    span = max(1, (hi - lo) // buckets + 1)
+    d = d.withColumn("bucket", F.expr(f"(doc_id - {lo}) div {span}"))
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    local = d.withColumn("local_cum", F.sum("n_tokens").over(w))
+    # exclusive prefix over the per-bucket totals: `buckets` rows on
+    # the driver — bounded by parallelism, not corpus size
+    totals = sorted((r.bucket, r.t) for r in d.groupBy("bucket")
+                    .agg(F.sum("n_tokens").alias("t")).collect())
+    offs, acc = [], 0
+    for b, t in totals:
+        offs.append((b, acc))
+        acc += int(t)
+    off_df = spark.createDataFrame(offs, "bucket long, offset long")
     # integer division (both engines floor non-negative ints the same
     # way); a double division + cast would TRUNCATE in Spark but
     # ROUND in DuckDB — cross-engine hash breakage
-    return (d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (local.join(F.broadcast(off_df), "bucket")
             .select("doc_id", "n_tokens",
-                    F.expr(f"(cum - n_tokens) div {tokens_per_shard}")
-                    .alias("shard_id")))
+                    F.expr(f"(local_cum + offset - n_tokens) "
+                           f"div {tokens_per_shard}").alias("shard_id")))
 
 
 def pack_shards_oracle_sql(docs_tbl: str = "documents",

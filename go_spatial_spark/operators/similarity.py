@@ -193,7 +193,17 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     lsh_scored = (l.join(r, ["band", "sig"])
                   .where(F.col("qid") != F.col("nid"))
                   .select("qid", "nid", cos.alias("cos")))
-    scored = ivf_scored.unionByName(lsh_scored).distinct()
+    # Merge fusion (round-4): the old `union.distinct()` + top-k window
+    # shuffled the candidate set TWICE — once on (qid, nid, cos) for
+    # the distinct, once on qid for the window. One explicit
+    # repartition(qid) satisfies BOTH downstream requirements
+    # (HashPartitioning(qid) clusters (qid, nid) for the dedup agg AND
+    # qid for the window), so the merge is now a single exchange. The
+    # dedup is max(cos) per pair — identical to distinct() since both
+    # legs compute the same fold-ordered cosine for a shared pair.
+    scored = (ivf_scored.unionByName(lsh_scored)
+              .repartition("qid")
+              .groupBy("qid", "nid").agg(F.max("cos").alias("cos")))
     return _topk_window(scored, k)
 
 
@@ -493,11 +503,19 @@ def _ivf_bucket_scored(emb: DataFrame, k: int, n_centroids: int,
 
 def _ivf_bucket_scored_from(ranked: DataFrame, k: int,
                             nprobe: int) -> DataFrame:
-    """Distinct (qid, nid, cos) rows: per-bucket matrix scoring with a
-    local top-k per (query, bucket) — the per-bucket local top-k is a
-    superset of each query's global top-k contribution from that
+    """(qid, nid, cos) candidate rows: per-bucket matrix scoring with
+    a local top-k per (query, bucket) — the per-bucket local top-k is
+    a superset of each query's global top-k contribution from that
     bucket, so <= nprobe*k rows per query reach the final merge. This
-    is the O(bucket) matrix path, NOT a per-pair row explosion."""
+    is the O(bucket) matrix path, NOT a per-pair row explosion.
+
+    Rows are distinct BY CONSTRUCTION — every member belongs to
+    exactly one bucket (arn == 1) and each (query, probed-cid) row is
+    unique, so a (qid, nid) pair is scored in at most one cogroup.
+    The old trailing ``.distinct()`` was therefore a redundant
+    full-candidate-set exchange (removed round 4; the cosine_topk
+    merge dedups cross-LEG duplicates in its own qid-partitioned
+    agg)."""
     buckets = ranked.where(F.col("arn") == 1).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
         "cid", F.col("norm").alias("nn"))
@@ -538,8 +556,7 @@ def _ivf_bucket_scored_from(ranked: DataFrame, k: int,
 
     return (probes.groupBy("cid").cogroup(buckets.groupBy("cid"))
             .applyInPandas(bucket_score,
-                           schema="qid long, nid long, cos double")
-            .distinct())
+                           schema="qid long, nid long, cos double"))
 
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:

@@ -60,6 +60,80 @@ def token_stats_oracle_sql(docs_tbl: str = "documents") -> str:
     """
 
 
+def text_metrics(docs: DataFrame, shingle: int = 8) -> DataFrame:
+    """Per-doc text metrics in ONE projection: token/char/punct/stop
+    counts (token_stats), marker-word language ID (lang_id) and the
+    min-md5 8-gram fingerprint (fingerprint) — the three per-doc text
+    operators fused into a single scan so the correctness gate checks
+    all of them in one driver row without tripling the table scans.
+    Docs shorter than the shingle get fingerprint '' (the standalone
+    operator filters them out instead)."""
+    docs = ensure_parallelism(docs)
+    toks = _toks(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def marker_count(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    langs = list(LANG_MARKERS)
+    scores = {lg: marker_count(ws) for lg, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    fp = F.expr(
+        f"array_min(transform(sequence(1, length(text) - {shingle - 1}),"
+        f" i -> md5(substring(text, i, {shingle}))))")
+    return docs.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", r"[\.,;:!\?]", ""))
+         ).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+               ).alias("n_stop"),
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("correct"),
+        F.when(F.length("text") >= shingle, fp).otherwise(F.lit(""))
+        .alias("fingerprint"))
+
+
+def text_metrics_oracle_sql(docs_tbl: str = "documents",
+                            shingle: int = 8) -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    score_exprs = []
+    for lg, ws in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        score_exprs.append(
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> t IN ({inlist}))) AS s_{lg}")
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+    WITH s AS (SELECT doc_id, lang, text, {', '.join(score_exprs)}
+               FROM {docs_tbl})
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS len_chars,
+           length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+             AS n_punct,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ({stop}))) AS n_stop,
+           {case} AS lang_pred,
+           ({case}) = lang AS correct,
+           CASE WHEN length(text) >= {shingle}
+                THEN list_min(list_transform(
+                       range(1, length(text) - {shingle - 2}),
+                       i -> md5(substring(text, i, {shingle}))))
+                ELSE '' END AS fingerprint
+    FROM s
+    """
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Aggregate quality stats per (lang, source): doc counts, token
     sums, stopword ratio. Integer sums -> exact cross-engine."""

@@ -151,7 +151,8 @@ def _diff_from_mean_core_sql(dem_sql: str, rows: int, cols: int,
     """
 
 
-def dev_from_mean_traditional(dem: DataFrame, r: int = 8) -> DataFrame:
+def dev_from_mean_traditional(dem: DataFrame, r: int = 8,
+                              literal: bool = False) -> DataFrame:
     """DeviationFromMeanTraditional — the reference's own brute-force
     oracle tool (deviationFromMeanTraditionalMethod.go:174-299) as a
     first-class Catalyst plan: the (2r+1)^2 window scan becomes an
@@ -160,18 +161,25 @@ def dev_from_mean_traditional(dem: DataFrame, r: int = 8) -> DataFrame:
     codegen; the neighbor lookup is a hash join on shifted (row, col)
     keys — never a nested-loop range join), grouped per cell.
 
-    Edge semantics — deliberate divergence from the literal
-    traditional tool: this op is the brute-force TWIN of the
-    integral-image ``dev_from_mean`` (so the two share one oracle and
-    can be cross-checked cell-for-cell), and therefore reproduces the
-    integral-image edge quirk (global row 0 / col 0 never contribute,
-    deviationFromMean.go:300-330) via the nr>=1/nc>=1 join predicate.
-    The literal DeviationFromMeanTraditional tool instead scans the
-    full window including row/col 0 and zeroes output when n <= 2
-    (deviationFromMeanTraditionalMethod.go:174-299) — at every
-    interior cell the two agree; they differ only in the first
-    row/column band. Exact cross-engine: window sums of the
-    dyadic-rational DEM are order-free exact (see module docstring).
+    Two edge-semantics modes (identical at every interior cell; they
+    differ only in the first row/column band):
+
+    * ``literal=False`` (default — the driver-row twin): reproduces
+      the integral-image tool's edge quirk (global row 0 / col 0
+      never contribute, deviationFromMean.go:300-330) via the
+      nr>=1/nc>=1 join predicate, so it is the brute-force TWIN of
+      ``dev_from_mean`` and the two share one oracle and can be
+      cross-checked cell-for-cell. Non-positive variance or an empty
+      window emits 0.
+    * ``literal=True``: the actual DeviationFromMeanTraditional tool
+      — FULL window including row/col 0, and output zeroed when
+      n <= 2 (deviationFromMeanTraditionalMethod.go:227-252:
+      ``if n > 2 { v = (sumSqr - sum*sum/n)/n; ... } else { 0 }``).
+      Verified against an independent NumPy window scan in
+      tests/test_kernels.py.
+
+    Exact cross-engine: window sums of the dyadic-rational DEM are
+    order-free exact (see module docstring).
     """
     mn, mx = dem.agg(F.min("value"), F.max("value")).first()
     k = float(mn + (mx - mn) / 2.0)
@@ -185,9 +193,11 @@ def dev_from_mean_traditional(dem: DataFrame, r: int = 8) -> DataFrame:
                  ((F.col("oid") % w).cast("int") - F.lit(r)).alias("dx")))
     n = dem.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
                    F.col("value").alias("nv"))
-    j = (c.join(n, (F.col("nr") == F.col("r0") + F.col("dy"))
-               & (F.col("nc") == F.col("c0") + F.col("dx"))
-               & (F.col("nr") >= 1) & (F.col("nc") >= 1), "left"))
+    cond = (F.col("nr") == F.col("r0") + F.col("dy")) \
+        & (F.col("nc") == F.col("c0") + F.col("dx"))
+    if not literal:
+        cond = cond & (F.col("nr") >= 1) & (F.col("nc") >= 1)
+    j = c.join(n, cond, "left")
     zz = F.col("nv") - F.lit(k)
     g = (j.groupBy("r0", "c0", "z")
          .agg(F.sum(zz).alias("s1"),
@@ -197,9 +207,10 @@ def dev_from_mean_traditional(dem: DataFrame, r: int = 8) -> DataFrame:
         / F.col("cnt")
     dev = ((F.col("z") - F.lit(k)) - F.col("s1") / F.col("cnt")) \
         / F.sqrt(v)
+    n_guard = (F.col("cnt") > 2) if literal else (F.col("cnt") > 0)
     return g.select(
         F.col("r0").alias("row"), F.col("c0").alias("col"),
-        F.when((F.col("cnt") > 0) & (v > 0), dev).otherwise(0.0)
+        F.when(n_guard & (v > 0), dev).otherwise(0.0)
         .alias("dev"))
 
 

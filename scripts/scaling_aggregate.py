@@ -129,47 +129,57 @@ def main() -> None:
         " remain in git history (BENCH/BASELINE.md @ 88d99e2) as the"
         " appendix.",
         "",
-        "## Run-to-run variance, honestly",
+        "## Run-to-run variance (computed from the input runs)",
         "",
-        "Earlier protocol iterations this round measured geomeans of"
-        " 0.46 and 0.70 before two confounds were found and fixed"
-        " with instrumentation (per-trial traces now recorded in the"
-        " bench JSON): (1) executor JVMs from the previous group"
-        " tearing down asynchronously while the next group timed its"
-        " first queries; (2) co-resident 10M-doc caches distorting"
-        " queries that read none of them (a sustained 5x pip-session"
-        " outlier, all trials slow). With teardown barriers and"
-        " per-query cache isolation the per-run geomeans above are"
-        " the protocol's reproducibility evidence. A third,"
-        " irreducible source remains: a sporadic host/VM-level stall"
-        " (~1 in 3 ANN calls, 2-6x) that hits small Arrow stages on"
-        " any executor — systematically investigated and eliminated"
-        " as an engine defect (not caches/churn/steal/GC/daemon/"
-        " worker-reuse/auth-timeout; full elimination record in"
-        " PLANS.md). The 3-trial minimum and cross-run medians are"
-        " the statistical response; run 7's cosine 36.2 s entry"
-        " (all three trials spiked) is the one residual it left in"
-        " the table.",
-        "",
-        "## The one sub-0.8 query, explained",
-        "",
-        "`cosine_topk_128k` (median eff 0.67) is bounded by FIXED"
-        " stage-orchestration latency, not by any scan/shuffle/"
-        " compute that grows with data: the fused-index ANN DAG is"
-        " 10+ stages, several of which coalesce to 9-10 tasks, and"
-        " after this round's single-Arrow-pass fusion its per-call"
-        " compute halved — so ~3-5 s of multi-JVM stage-launch floor"
-        " is now ~35% of the 4N wall time. At the 100 TB target the"
-        " same DAG runs minutes-long stages and the floor vanishes;"
-        " in-sandbox the honest fix is a larger ANN corpus (256k+"
-        " vectors), queued for the next protocol cohort so medians"
-        " stay same-protocol.",
-    ]
+    ] + _variance_section(runs, med_n, med_4n)
+    # hand-maintained narrative (protocol history, confound analyses):
+    # kept OUT of the generator so re-running with different inputs
+    # can never write stale run-specific prose into graded evidence
+    # (round-3 ADVICE). Edit BENCH/NOTES.md, not this script.
+    notes = os.path.join(REPO, "BENCH", "NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            lines += ["", f.read().rstrip()]
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"headline_median_geomean": headline,
                       "per_run_geomeans": per_run, "eff_median": eff}))
+
+
+def _variance_section(runs, med_n, med_4n) -> list[str]:
+    """Spike report derived from the per-trial traces in the run JSONs
+    themselves — a timed entry whose EVERY trial exceeds 2x the
+    cross-run median is flagged (all-trials-slow = a session-level
+    stall, not a cold first run)."""
+    spikes = []
+    for i, r in enumerate(runs, 1):
+        trials = r.get("trials", {})
+        for q, by_level in trials.items():
+            for level, tr in by_level.items():
+                med = med_n if str(level) == "1" else med_4n
+                if q not in med or not tr:
+                    continue
+                if min(tr) > 2.0 * med[q] and med[q] > 0.05:
+                    spikes.append(
+                        f"run {i}, `{q}` @ {'N' if str(level) == '1' else '4N'}:"
+                        f" all trials {[round(t, 1) for t in tr]} s vs"
+                        f" cross-run median {med[q]} s")
+    out = [
+        "Per-run geomeans above are the reproducibility evidence;"
+        " per-trial traces are recorded in every run JSON"
+        " (BENCH/scaling_r*_run*.json) so outliers are inspectable.",
+        "",
+    ]
+    if spikes:
+        out += ["Sessions where every trial of a query exceeded 2x the"
+                " cross-run median (host/VM-level stalls absorbed by"
+                " the median-of-runs headline):", ""]
+        out += [f"- {s}" for s in spikes]
+    else:
+        out += ["No timed entry had all trials above 2x its cross-run"
+                " median in these runs."]
+    return out
 
 
 if __name__ == "__main__":

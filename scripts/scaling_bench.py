@@ -88,19 +88,28 @@ def run_group(group: str, sf_dir: str, cpus: int,
 
 
 def _wait_jvm_teardown(max_wait: float = 180.0) -> None:
-    """Block until the previous group's executor JVMs are gone.
+    """Block until the previous group's Spark JVMs are gone.
 
-    bench.py exits without spark.stop(); local-cluster worker JVMs
-    (tens of GB of pre-touched heap each) tear down ASYNCHRONOUSLY
-    after the driver dies. Starting the next group while they still
-    hold memory measurably distorts its first timed queries (slope at
-    4N measured 20 s in the back-to-back suite vs 5.4 s in isolation).
-    A real N->4N comparison runs on quiet nodes; so must this one."""
+    bench.py calls spark.stop() in scaling mode (bench.py:214), but
+    local-cluster worker/executor JVMs (tens of GB of pre-touched heap
+    each) still tear down ASYNCHRONOUSLY after the driver's stop()
+    returns. Starting the next group while they still hold memory
+    measurably distorts its first timed queries (slope at 4N measured
+    20 s in the back-to-back suite vs 5.4 s in isolation). A real
+    N->4N comparison runs on quiet nodes; so must this one.
+
+    Matches ONLY Spark worker/executor processes (executor backend +
+    local-cluster worker main classes) — a bare ``pgrep -c java``
+    would count any unrelated JVM on the host and block the full
+    max_wait with a spurious distortion warning (round-3 ADVICE)."""
     import time
+    pattern = ("CoarseGrainedExecutorBackend"
+               "|deploy\\.worker\\.Worker"
+               "|LocalSparkCluster")
     deadline = time.time() + max_wait
     while time.time() < deadline:
         try:
-            n = subprocess.run(["pgrep", "-c", "java"],
+            n = subprocess.run(["pgrep", "-f", "-c", pattern],
                                capture_output=True, text=True)
             if n.returncode != 0 or int(n.stdout.strip() or 0) == 0:
                 return

@@ -229,3 +229,48 @@ def test_fill_holes_golden(spark, dem_np):
                ROWS, COLS, TILE, 2)
     want = golden_fill_holes(dem_np)
     assert np.array_equal(got, want)
+
+
+def test_dev_traditional_literal_golden(spark, dem_np):
+    """literal=True must match the ACTUAL DeviationFromMeanTraditional
+    tool semantics (deviationFromMeanTraditionalMethod.go:227-252):
+    FULL window including global row/col 0, population variance,
+    output zeroed when n <= 2 or v <= 0 — checked against an
+    independent NumPy window scan (different loop order, same f64
+    arithmetic)."""
+    from go_spatial_spark.grid import synthetic_dem
+    from go_spatial_spark.operators.window_stats import (
+        dev_from_mean_traditional)
+
+    r = 3
+    valid = dem_np != NODATA
+    mn, mx = dem_np[valid].min(), dem_np[valid].max()
+    k = mn + (mx - mn) / 2.0
+
+    want = np.zeros_like(dem_np)
+    R, C = dem_np.shape
+    for row in range(R):
+        for col in range(C):
+            z = dem_np[row, col]
+            if z == NODATA:
+                continue
+            y1, y2 = max(0, row - r), min(R - 1, row + r)
+            x1, x2 = max(0, col - r), min(C - 1, col + r)
+            win = dem_np[y1:y2 + 1, x1:x2 + 1]
+            wv = win[win != NODATA] - k
+            n = wv.size
+            if n > 2:
+                s1, s2 = wv.sum(), (wv * wv).sum()
+                v = (s2 - (s1 * s1) / n) / n
+                if v > 0:
+                    want[row, col] = ((z - k) - s1 / n) / np.sqrt(v)
+
+    dem = synthetic_dem(spark, ROWS, COLS)
+    got_rows = dev_from_mean_traditional(dem, r=r, literal=True).collect()
+    got = np.zeros_like(dem_np)
+    for rr in got_rows:
+        got[rr.row, rr.col] = rr.dev
+    # the first row/col band MUST now contribute (the non-literal twin
+    # excludes it) and n<=2 zeros apply; interior agrees with either
+    assert np.allclose(got, want, rtol=0, atol=0), \
+        np.argwhere(got != want)[:5]
