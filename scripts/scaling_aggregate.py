@@ -54,7 +54,7 @@ def main() -> None:
         "# BENCH — two-cluster-size scaling evidence (north_rule)",
         "",
         "Same input (/root/testdata/sf0.1; 10.2M replicated docs, a"
-        " 128k-vector synthetic embedding corpus, a 16384^2 synthetic"
+        " 256k-vector synthetic embedding corpus, a 16384^2 synthetic"
         " DEM in 1024 tiles), identical queries, two cluster sizes"
         " emulated with MULTI-PROCESS executors:",
         "",

@@ -181,7 +181,7 @@ def main() -> None:
     lines = [
         "# BENCH — two-cluster-size scaling evidence (north_rule)",
         "",
-        f"Same input ({sf_dir}; 10.2M replicated docs, a 128k-vector"
+        f"Same input ({sf_dir}; 10.2M replicated docs, a 256k-vector"
         " synthetic embedding corpus, a 16384^2 synthetic DEM in 1024"
         " tiles), identical queries, two cluster sizes emulated with"
         " MULTI-PROCESS executors:",
