@@ -253,18 +253,29 @@ def pack_shards(docs: DataFrame,
        global window, but no task ever holds more than ~1/buckets of
        the corpus.
 
-    The totals pass re-scans the projection (doc_id, n_tokens); at
-    cluster scale either accept the second columnar scan (it prunes
-    to two columns) or persist the projection before calling.
-    tests/test_plans.py asserts the executed plan has NO
-    Exchange SinglePartition.
+    The (doc_id, n_tokens) projection is localCheckpoint-ed once
+    eagerly; the bounds, totals and cumsum passes all read that single
+    snapshot (no double scan, and a nondeterministic upstream cannot
+    desynchronise the passes). tests/test_plans.py asserts the
+    executed plan has NO Exchange SinglePartition.
     """
     docs = ensure_parallelism(docs)
     spark = docs.sparkSession
     if buckets is None:
-        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # conf may be non-numeric on AQE-managed platforms ("auto")
+        try:
+            buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            buckets = docs.rdd.getNumPartitions() or 200
     n_tok = F.size(F.split("text", " "))
-    d = docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
+    # one eager materialization of the 2-column projection; the
+    # bounds, totals and final passes all read this snapshot, so a
+    # nondeterministic upstream (sample(), rand()) cannot make the
+    # totals pass disagree with the cumsum pass and silently corrupt
+    # shard_ids. At cluster scale this is a bounded executor-local
+    # spill of exactly (doc_id, n_tokens).
+    d = docs.select("doc_id", n_tok.cast("long").alias("n_tokens")) \
+            .localCheckpoint(eager=True)
     bounds = d.agg(F.min("doc_id").alias("lo"),
                    F.max("doc_id").alias("hi")).first()
     if bounds.lo is None:  # empty corpus

@@ -433,8 +433,8 @@ def audio_featurize_oracle_sql(docs_tbl: str = "documents") -> str:
            CAST(16000 AS INT) AS sample_rate,
            CAST(sum(amp) AS DOUBLE) / max(n) AS mean_amp,
            max(abs(amp)) AS peak_amp,
-           sum(CASE WHEN prev IS NOT NULL
-                     AND ((amp >= 0) <> (prev >= 0))
-               THEN 1 ELSE 0 END) AS zero_crossings
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND ((amp >= 0) <> (prev >= 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
     FROM x GROUP BY doc_id
     """

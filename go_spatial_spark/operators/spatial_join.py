@@ -194,9 +194,21 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
     # a ring that wide centered anywhere covers the whole bounding box
     ext = points.agg(
         (F.max("lon") - F.min("lon")).alias("dx"),
-        (F.max("lat") - F.min("lat")).alias("dy")).first()
+        (F.max("lat") - F.min("lat")).alias("dy"),
+        F.min(F.floor(F.col("lon") / cell_size)).alias("gxlo"),
+        F.max(F.floor(F.col("lon") / cell_size)).alias("gxhi"),
+        F.min(F.floor(F.col("lat") / cell_size)).alias("gylo"),
+        F.max(F.floor(F.col("lat") / cell_size)).alias("gyhi")).first()
     span = max(float(ext.dx or 0.0), float(ext.dy or 0.0))
     r_max = int(math.ceil(span / cell_size)) + 1
+    bbox = (int(ext.gxlo or 0), int(ext.gxhi or 0),
+            int(ext.gylo or 0), int(ext.gyhi or 0))
+
+    # distinct occupied cells: at 11.25-degree cells the worldwide
+    # dimension is <= 32x16 rows; even at street-level cells it is
+    # bounded by data density, not ring width — safe to broadcast
+    occupied = p.select(F.col("ngx").alias("gx"),
+                        F.col("ngy").alias("gy")).distinct()
 
     w = Window.partitionBy("qid").orderBy(F.col("dist2"), F.col("nid"))
     w2 = Window.partitionBy("qid")
@@ -210,13 +222,38 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
         # scale; the explode costs (2r+1)^2 x query rows but keeps the
         # join linear and AQE-skew-splittable (urban-hotspot cells).
         n = 2 * radius + 1
-        ring_cells = F.expr(
-            f"explode(transform(sequence(0, {n * n - 1}), i -> "
-            f"struct(qgx + i % {n} - {radius} AS gx, "
-            f"qgy + i DIV {n} - {radius} AS gy)))")
+        if radius > 2:
+            # Wide rings (the exhaustive stage especially: (2*r_max+1)^2
+            # cells per query at world extent — thousands of rows each,
+            # nearly all landing on EMPTY cells) get two prunes:
+            # 1. GENERATION is clipped to the data's occupied-cell bbox
+            #    (greatest/least against the global gx/gy bounds from
+            #    the same 1-row agg as r_max), so out-of-extent cells
+            #    are never exploded at all — at sf0.1's world extent
+            #    this alone cuts the explode 4489 -> <=512 rows/query;
+            # 2. the clipped cells are semi-joined against the distinct
+            #    occupied-cell dimension BEFORE the point join — a
+            #    broadcast LeftSemi hash join (plan stays BNLJ-free)
+            #    that removes interior empties, worth another
+            #    occupancy-factor cut on any non-uniform corpus.
+            gxlo, gxhi, gylo, gyhi = bbox
+            ring_cells = F.expr(
+                f"explode(flatten(transform("
+                f"sequence(greatest(qgx - {radius}, {gxlo}L), "
+                f"least(qgx + {radius}, {gxhi}L)), gx -> "
+                f"transform(sequence(greatest(qgy - {radius}, {gylo}L), "
+                f"least(qgy + {radius}, {gyhi}L)), "
+                f"gy -> struct(gx, gy)))))")
+        else:
+            ring_cells = F.expr(
+                f"explode(transform(sequence(0, {n * n - 1}), i -> "
+                f"struct(qgx + i % {n} - {radius} AS gx, "
+                f"qgy + i DIV {n} - {radius} AS gy)))")
         gq = queries.select("*", ring_cells.alias("cell")).select(
             "qid", "qx", "qy", "qgx", "qgy",
             F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
+        if radius > 2:
+            gq = gq.join(F.broadcast(occupied), ["gx", "gy"], "left_semi")
         ring = gq.join(
             p,
             (F.col("ngx") == F.col("gx")) & (F.col("ngy") == F.col("gy"))
@@ -233,11 +270,14 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
         # guarantee: any point outside the ring is >= radius*cell_size
         # away. count/kth via a second window over the same
         # partitioning — reuses the row_number exchange, no extra
-        # groupBy+join round trip
+        # groupBy+join round trip. STRICT kth < lim: at exactly
+        # radius*cell_size an outside point ties the kth distance and
+        # could win the (dist2, nid) tie-break, so boundary ties must
+        # escalate to the next ring
         lim = (radius * cell_size) ** 2
         return (topk.withColumn("ncand", F.count("*").over(w2))
                 .withColumn("kth", F.max("dist2").over(w2))
-                .where((F.col("ncand") == k) & (F.col("kth") <= F.lit(lim)))
+                .where((F.col("ncand") == k) & (F.col("kth") < F.lit(lim)))
                 .drop("ncand", "kth"))
 
     cols = [F.col("qid").alias(id_col), F.col("nid").alias("neighbor_id"),

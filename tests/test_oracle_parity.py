@@ -50,6 +50,15 @@ def _compare(name, spark_pdf, oracle_pdf):
         f"{name}: rows {len(spark_pdf)} vs {len(oracle_pdf)}")
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for c in a.columns:
+        # The driver's value hash is TYPE-sensitive: a DuckDB HUGEINT
+        # sum() landing as float64 against Spark's int64 hashes
+        # differently even when every value matches (the a06b8bc bug
+        # class, seen three times). Canonicalized dtypes must agree.
+        assert a[c].dtype == b[c].dtype, (
+            f"{name}.{c}: canonical dtype spark={a[c].dtype} vs "
+            f"oracle={b[c].dtype} — cast the oracle column (HUGEINT "
+            f"sums need CAST(... AS BIGINT))")
+    for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if a[c].dtype == "float64":
             import numpy as np
