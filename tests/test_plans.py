@@ -222,7 +222,7 @@ def test_cosine_topk_single_corpus_arrow_pass(spark, sf001):
             r"Exchange hashpartitioning\((\w+)[^\n]*plan_id=(\d+)", plan)}
         qid_ex = [k for k, v in ex.items() if v.startswith("qid")]
         assert len(qid_ex) == 1, ex
-        assert len(ex) <= 4, ex
+        assert len(ex) <= 3, ex
     finally:
         similarity.release_ann_caches()
 
