@@ -201,7 +201,15 @@ def scaling_workload(spark, cpus: int, sf_dir: str) -> dict:
         docs_pack.unpersist(blocking=True)
     else:
         R = C = 16384
-        T = 512
+        # 1024^2 tiles (256 of them) rather than round 2-4's 512^2
+        # (1024): the round-4 cohort measured the raster rows' fixed
+        # per-task dispatch/IPC seconds (Ts) DOUBLING with host
+        # conditions while per-core work W was bit-identical — the
+        # identity-kernel probe moved exactly like the real kernels,
+        # pinning the dip on per-task latency, not kernel compute. 4x
+        # the Arrow payload per task (8.4 MB vs 2.1 MB) amortizes that
+        # latency 4x; 256 tiles still gives 32 tasks per core at 4N.
+        T = 1024
         meta = RasterMeta(rows=R, cols=C)
         # tile-direct generation WITH the edge-strip sidecar (written at
         # ingest, as a production tile store would), hash-partitioned on

@@ -397,6 +397,17 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
         assign, schema=("vec_id long, embedding array<float>, cid long, "
                         "arn int, norm double")).cache()
     _ivf_assign_cached = out
+    # Eager materialization BARRIER (round-5 scaling fix): the probe
+    # and bucket consumers of this cache are independent shuffle-map
+    # stages that Spark submits CONCURRENTLY. On a multi-executor
+    # cluster their first tasks race the cache population and each
+    # recompute the full mapInPandas assignment for any block not yet
+    # cached — N-vs-4N event-log profiling measured the build's
+    # executor-run time 5x and Python-worker init time 5x at 4
+    # executors from exactly this race (stages 78-81, BENCH/NOTES.md
+    # round-5 profile). One count() populates every block with full
+    # cluster parallelism before any consumer launches.
+    out.count()
     return out
 
 
@@ -492,6 +503,19 @@ def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
                        "kind int, cid long, arn int, band int, sig long")
     ).cache()
     _ann_index_cached = out
+    # Eager materialization BARRIER — same race as _ivf_assign but 4x
+    # worse: cosine_topk's plan scans this cache from FOUR concurrent
+    # shuffle-map stages (IVF probes, IVF buckets, LSH left, LSH
+    # right). At 1 executor x 2 cores FIFO scheduling happens to run
+    # the first scan to completion before the others get slots, so
+    # the race is invisible; at 4 executors the four stages' tasks
+    # interleave and recompute uncached blocks concurrently (measured:
+    # build work 50 -> 260+ executor-run seconds, Python worker init
+    # 114 -> 573 s, and 2.4x trial-to-trial variance at 4N — the
+    # round-4 verdict's "data-proportional serial fraction"). The
+    # count() populates the cache once, with full parallelism, before
+    # the consumers launch.
+    out.count()
     return out
 
 

@@ -32,13 +32,6 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
     # TOTAL core count (n*c) so shuffle partitioning is sized the same.
     master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     builder = SparkSession.builder.master(master)
-    # $SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs, applied
-    # first so named configs below still win — a probe hook for
-    # benchmark A/B experiments without code edits.
-    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
-        if "=" in kv:
-            k, v = kv.split("=", 1)
-            builder = builder.config(k.strip(), v.strip())
     builder = (
         builder
         .appName(app)
@@ -105,6 +98,16 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
         builder = builder.config(
             "spark.driver.extraJavaOptions",
             f"-Xms{mem} -XX:+AlwaysPreTouch")
+    # $SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs, applied
+    # LAST so a probe can override any named config above — the whole
+    # point of the hook is benchmark A/B experiments without code
+    # edits (it was originally applied first, which silently no-op'd
+    # any probe of a config this function also sets, e.g. the AQE
+    # coalescing A/B in the round-5 ANN profile).
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     # single-threaded math libs inside the (many) python workers:
     # 32 workers x N BLAS/Arrow threads oversubscribes the host
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",

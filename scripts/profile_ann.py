@@ -49,7 +49,29 @@ from go_spatial_spark.operators import similarity  # noqa: E402
 from bench import _synthetic_vectors  # noqa: E402
 
 
+def _wait_quiet(max_wait: float = 180.0) -> None:
+    """Block until prior Spark executor/worker JVMs are gone — a
+    previous run's 4 x 22 GB pre-touched heaps tearing down during
+    this run's timed region measurably distorts it (observed: the
+    N=1 build stage at 244 executor-run seconds but only 44 CPU
+    seconds — 200 s of descheduled wait — when launched right after
+    a 4-executor run). Same barrier as scaling_bench."""
+    import subprocess
+    import time as _t
+    pattern = ("CoarseGrainedExecutorBackend"
+               "|deploy\\.worker\\.Worker"
+               "|LocalSparkCluster")
+    deadline = _t.time() + max_wait
+    while _t.time() < deadline:
+        n = subprocess.run(["pgrep", "-f", "-c", pattern],
+                           capture_output=True, text=True)
+        if n.returncode != 0 or int(n.stdout.strip() or 0) == 0:
+            return
+        _t.sleep(1.0)
+
+
 def main() -> None:
+    _wait_quiet()
     spark = get_spark("annprof", cpus=N_EXEC * CORES,
                       shuffle_partitions=32)
     emb = _synthetic_vectors(spark, N_VEC, 64).repartition(32).cache()

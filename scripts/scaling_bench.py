@@ -49,7 +49,7 @@ CLUSTER_LEVELS = (("N (1 exec x 2 cores)", 1, 2),
 THREAD_LEVELS = (1, 4, 32)
 
 # Per-executor heap MB by group. docs caches ~10M deserialized text
-# rows; raster caches 1024 x 512^2 float64 tiles (+ edge sidecars).
+# rows; raster caches 256 x 1024^2 float64 tiles (+ edge sidecars).
 EXEC_MB = {"docs": 22528, "raster": 9216}
 
 
@@ -182,8 +182,8 @@ def main() -> None:
         "# BENCH — two-cluster-size scaling evidence (north_rule)",
         "",
         f"Same input ({sf_dir}; 10.2M replicated docs, a 256k-vector"
-        " synthetic embedding corpus, a 16384^2 synthetic DEM in 1024"
-        " tiles), identical queries, two cluster sizes emulated with"
+        " synthetic embedding corpus, a 16384^2 synthetic DEM in 256"
+        " 1024^2 tiles), identical queries, two cluster sizes emulated with"
         " MULTI-PROCESS executors:",
         "",
         "* **N** = `local-cluster[1,2," + str(EXEC_MB["docs"]) + "]` —"
@@ -223,7 +223,7 @@ def main() -> None:
         f" {meta.get('tiles_per_sec_1', '-')} tiles/sec.",
         f"Throughput at 4N: {meta.get('docs_per_sec_4', '-')} docs/sec,"
         f" {meta.get('tiles_per_sec_4', '-')} tiles/sec"
-        f" ({meta.get('n_tiles_4', '-')} x 512^2 tiles x 3 stencils).",
+        f" ({meta.get('n_tiles_4', '-')} x 1024^2 tiles x 3 stencils).",
         "",
         "## Why multi-process executors (and not local[2] vs local[8])",
         "",
