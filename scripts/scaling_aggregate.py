@@ -55,8 +55,8 @@ def main() -> None:
         "",
         "Same input (/root/testdata/sf0.1; 10.2M replicated docs, a"
         " 256k-vector synthetic embedding corpus, a 16384^2 synthetic"
-        " DEM in 1024 tiles), identical queries, two cluster sizes"
-        " emulated with MULTI-PROCESS executors:",
+        " DEM in 256 1024^2 tiles), identical queries, two cluster"
+        " sizes emulated with MULTI-PROCESS executors:",
         "",
         "* **N** = `local-cluster[1,2,22528]` — 1 executor JVM, 2 cores",
         "* **4N** = `local-cluster[4,2,22528]` — 4 executor JVMs,"
