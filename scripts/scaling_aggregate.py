@@ -112,7 +112,7 @@ def main() -> None:
         f"Throughput at N (medians): {docs_n} docs/sec (minhash+pip"
         f" over 10240000 docs), {tiles_n} tiles/sec.",
         f"Throughput at 4N (medians): {docs_4n} docs/sec,"
-        f" {tiles_4n} tiles/sec (1024 x 512^2 tiles x 3 stencils).",
+        f" {tiles_4n} tiles/sec (256 x 1024^2 tiles x 3 stencils).",
         "",
         "## Why multi-process executors (and not local[2] vs local[8])",
         "",
