@@ -475,10 +475,14 @@ def _plan_key(df: DataFrame):
     memoization key component for the ANN index caches. Two frames
     with semantically equal plans read the same data, so the built
     index is identical; any change to the input (different path,
-    filter, projection) changes the hash and forces a rebuild. Falls
-    back to object identity if the internal API moves."""
+    filter, projection) changes the hash and forces a rebuild. The
+    applicationId is part of the key so a cache built in a stopped
+    session can never be returned into a NEW session whose plans
+    happen to hash the same. Falls back to object identity if the
+    internal API moves."""
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        return (df.sparkSession.sparkContext.applicationId,
+                df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:
         return id(df)
 

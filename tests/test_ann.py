@@ -108,3 +108,32 @@ def test_plane_weight_spellings_agree(spark):
     wmat = (h2 ^ (h2 >> 13)).astype(np.float64) / 2147483648.0 - 0.5
     ref = wmat.T.ravel()  # (j, d) order
     assert np.array_equal(got["w"].to_numpy(), ref)
+
+
+def test_ann_index_memoized_and_invalidated(spark, sf001):
+    """The ANN index caches are memoized on (applicationId, plan
+    semanticHash, params): a repeat call with a semantically equal
+    input — even a FRESH DataFrame object — returns the same cached
+    frame (production index-at-ingest semantics); any input or
+    parameter change, or an explicit release, rebuilds."""
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    try:
+        similarity.release_ann_caches()
+        idx1 = similarity._ann_index(emb, 16, 2, 32, 16, 64)
+        # same object and a semantically-equal fresh frame both hit
+        assert similarity._ann_index(emb, 16, 2, 32, 16, 64) is idx1
+        emb2 = spark.read.parquet(f"{sf001}/embeddings.parquet")
+        assert similarity._ann_index(emb2, 16, 2, 32, 16, 64) is idx1
+        # a parameter change misses (single slot: old cache evicted)
+        idx2 = similarity._ann_index(emb, 24, 2, 32, 16, 64)
+        assert idx2 is not idx1
+        # an input change misses
+        idx3 = similarity._ann_index(emb.limit(50), 16, 2, 32, 16, 64)
+        assert idx3 is not idx2
+        # release clears the slot; next call rebuilds
+        similarity.release_ann_caches()
+        assert similarity._ann_index_cached is None
+        idx4 = similarity._ann_index(emb, 16, 2, 32, 16, 64)
+        assert idx4 is not idx3
+    finally:
+        similarity.release_ann_caches()
