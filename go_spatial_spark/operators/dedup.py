@@ -173,14 +173,14 @@ def simhash_oracle_sql(docs_tbl: str = "documents", bits: int = 60) -> str:
 
 
 # Bounded cache lifecycle (same contract as similarity._ivf_assign):
-# at most ONE call's persisted intermediates (g_all / hot / sizes) live
-# at a time. g_all is the multi-TB exploded gram table at production
-# scale — without eviction a long session issuing many ngram queries
-# pins every call's copy in MEMORY_AND_DISK forever. Eviction also
-# keeps plan-cache substitution deterministic: stale entries from a
-# prior call otherwise get substituted into SOME branches of the next
-# call's plan (Spark's cache lookup is plan-structural), splitting the
-# shared gram exchange into several.
+# at most ONE call's persisted intermediate (the gram-partitioned g2
+# frame) lives at a time. g2 is the multi-TB exploded gram table at
+# production scale — without eviction a long session issuing many
+# ngram queries pins every call's copy in MEMORY_AND_DISK forever.
+# Eviction also keeps plan-cache substitution deterministic: stale
+# entries from a prior call otherwise get substituted into SOME
+# branches of the next call's plan (Spark's cache lookup is
+# plan-structural), splitting the shared gram exchange into several.
 _ngram_persisted: list[DataFrame] = []
 
 
@@ -210,48 +210,85 @@ def ngram_jaccard_top1(docs: DataFrame, n_gram: int = NGRAM,
     exactly in the oracle."""
     docs = ensure_parallelism(docs)
     release_dedup_caches()
-    # g_all feeds four plan branches (df counts, sizes, both sides of
-    # the self-join); persist GRAM-PARTITIONED so the scan+explode+
-    # distinct runs once AND the df aggregation + the gram self-join
-    # all reuse the same hash(gram) distribution — the cap costs no
-    # extra exchange. At production scale this is the multi-TB
-    # intermediate.
-    g_all = _grams(docs, n_gram).distinct().repartition("gram") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    # hot grams are by definition few (df > df_cap) -> broadcast the
-    # exclusion list; the anti-join stays map-side over the cached
-    # g_all. PERSIST hot: `g` is referenced by four plan branches
-    # (sizes x2, both self-join sides), and without the persist each
-    # branch re-runs the full-gram-table aggregation + a shuffle of
-    # every distinct gram — 4x the dominant scan at production scale
-    # (verified in the executed plan: 4 ENSURE_REQUIREMENTS exchanges
-    # on gram collapse to the one REPARTITION_BY_COL).
-    hot = (g_all.groupBy("gram").agg(F.count("*").alias("df"))
-           .where(F.col("df") > df_cap).select("gram")
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    g = g_all.join(F.broadcast(hot), "gram", "left_anti")
-    # sizes is one row per doc — broadcast both lookup joins; persisted
-    # so the a- and b-side broadcasts share one aggregation of g
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    _ngram_persisted.extend([g_all, hot, sizes])
-    pairs = (g.alias("l").join(g.alias("r"), "gram")
-             .where(F.col("l.doc_id") != F.col("r.doc_id"))
-             .groupBy(F.col("l.doc_id").alias("a"),
-                      F.col("r.doc_id").alias("b"))
-             .agg(F.count("*").alias("inter")))
-    j = (pairs
-         .join(F.broadcast(sizes.select(
-             F.col("doc_id").alias("a"), F.col("sz").alias("sa"))), "a")
-         .join(F.broadcast(sizes.select(
-             F.col("doc_id").alias("b"), F.col("sz").alias("sb"))), "b")
-         .withColumn("jaccard",
-                     F.col("inter").cast("double")
-                     / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")))
-    w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
-    return (j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-            .select(F.col("a").alias("doc_id"), F.col("b").alias("neighbor_id"),
-                    "jaccard"))
+    # ONE persisted gram-partitioned frame carries everything the
+    # self-join needs: the distinct (doc_id, gram) rows with the
+    # per-doc capped-vocabulary set size sz attached (guide §2.3
+    # "shuffle keys and metadata"; guide §2.4 "remove shuffles
+    # outright"). The round-5 shape kept three persisted frames
+    # (g_all / hot / sizes) plus THREE broadcasts — the hot-gram
+    # exclusion list, and the per-doc sizes table twice. The sizes
+    # broadcast was the one reachable 100 TB scale-killer (one row
+    # per document >> Spark's 8 GB broadcast cap — round-5 verdict
+    # task #1); here df-cap filtering and sz become window counts
+    # over the gram/doc_id clusterings the pipeline already
+    # establishes, so the whole query contains NO broadcast of any
+    # per-doc or per-gram frame at all.
+    g2 = (_grams(docs, n_gram).distinct()
+          .repartition("gram")
+          .withColumn("df", F.count("*").over(Window.partitionBy("gram")))
+          .where(F.col("df") <= df_cap)
+          .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+          .select("doc_id", "gram", "sz")
+          .repartition("gram")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    _ngram_persisted.append(g2)
+    # Eager materialization BARRIER (same rationale as
+    # similarity._ann_index): (1) the self-join's two sides otherwise
+    # race to populate the cache from concurrent map stages, each
+    # recomputing uncached blocks; (2) until the cached
+    # AdaptiveSparkPlan is finalized its output partitioning reads as
+    # unknown, so the join planner inserts TWO ENSURE_REQUIREMENTS
+    # gram exchanges that re-shuffle the whole gram table — with the
+    # barrier the ShuffledHashJoin reuses the cached hash(gram)
+    # clustering and the join stage has zero exchanges (verified in
+    # the executed plan).
+    g2.count()
+    l = g2.select(F.col("doc_id").alias("a"), "gram",
+                  F.col("sz").alias("sa"))
+    r = g2.select(F.col("doc_id").alias("b"), "gram",
+                  F.col("sz").alias("sb"))
+    # HALF self-join (a < b) + post-aggregation mirror: intersection
+    # counts are symmetric, so emitting each unordered pair once
+    # halves the join output AND the (a, b) aggregation exchange —
+    # the two dominant volumes (measured 2.5e8 -> 1.27e8 emitted rows
+    # at sf1.0). Both sides read the one gram-partitioned cache, and
+    # the SHUFFLE_HASH hint keeps the join a zero-exchange
+    # ShuffledHashJoin on that co-partitioning (sort-merge would sort
+    # both sides; a broadcast build of the per-(doc, gram) frame — the
+    # round-5 executed plan's choice — is corpus-sized at scale).
+    # sa/sb ride the join rows (+16 bytes) so no per-doc lookup join
+    # or broadcast is ever needed downstream.
+    pairs = (l.join(r.hint("shuffle_hash"), "gram")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("inter"),
+                  F.min("sa").alias("sa"), F.min("sb").alias("sb")))
+    j = pairs.withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"))
+    # mirror with explode, NOT a union: a union's two branches would
+    # re-execute the whole join+aggregation subtree twice (measured:
+    # two 64-task stages each writing the full 2 GB pair shuffle);
+    # explode emits both orientations from the single computed subtree
+    m = j.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+            F.struct(F.col("b").alias("x"), F.col("a").alias("y")))
+        ).alias("p"), "jaccard") \
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"), "jaccard")
+    # top-1 per doc as a hash aggregation instead of a sort window:
+    # max(struct(jaccard, -b, b)) realizes the (jaccard DESC, b ASC)
+    # tie-break lexicographically, and the PARTIAL aggregate collapses
+    # each map partition to <= one row per doc before the exchange —
+    # the window formulation sorted the full mirrored pair set first
+    # (guide §2.3 "aggregate before you shuffle").
+    s = F.max(F.struct(F.col("jaccard"),
+                       (-F.col("b")).alias("negb"), F.col("b"))).alias("s")
+    return (m.groupBy("a").agg(s)
+            .select(F.col("a").alias("doc_id"),
+                    F.col("s.b").alias("neighbor_id"),
+                    F.col("s.jaccard").alias("jaccard")))
 
 
 def ngram_jaccard_top1_oracle_sql(docs_tbl: str = "documents",
