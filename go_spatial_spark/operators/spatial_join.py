@@ -27,6 +27,7 @@ import numpy as np
 from go_spatial_spark.session import ensure_parallelism
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.storagelevel import StorageLevel
 
 # (lon, lat) integer vertices; ring closes last->first. Mix of convex,
 # concave, triangle, sliver, nested box pair (FIXTURES.md §5).
@@ -149,9 +150,25 @@ def pip_oracle_sql(points_sql: str, id_col: str = "doc_id") -> str:
 # kNN via cell-ring expansion
 # ---------------------------------------------------------------------------
 
+# Bounded cache lifecycle (same contract as dedup._ngram_persisted):
+# at most one knn_self call's per-stage resolved top-k frames (<= k
+# rows per resolved query each) are persisted at a time.
+_knn_persisted: list[DataFrame] = []
+
+
+def release_knn_caches() -> None:
+    """Unpersist the previous knn_self call's per-stage caches."""
+    while _knn_persisted:
+        try:
+            _knn_persisted.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
              id_col: str = "doc_id",
-             radii: tuple[int, ...] = (1,)) -> DataFrame:
+             radii: tuple[int, ...] = (1,),
+             fine_fractions: tuple[float, ...] = (360.0,)) -> DataFrame:
     """Exact self-kNN (id, neighbor_id, rank), rank 1..k by (dist2, id).
 
     Escalating cell-ring equi-joins — NEVER a nested loop against the
@@ -159,11 +176,22 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
     uniformly-sparse corpus the old broadcast brute-force remainder
     was the whole query set):
 
+    * MULTI-RESOLUTION pre-stages (round-6, guide §2.5 skew): one
+      3x3-ring pass per ``cell_size / f`` for each f in
+      ``fine_fractions``, finest first. The per-stage guarantee test
+      (k candidates and kth distance < 1*cs_stage — any point outside
+      a stage's ring is >= radius*cs_stage away, whatever cs_stage
+      is) keeps every stage exact, so fine stages resolve DENSE
+      regions with tiny candidate sets while sparse queries fall
+      through at the cost of a near-empty ring join. Without them a
+      single global cell size must fit the densest cluster AND the
+      sparse background: the geocoder's urban-hotspot cell held 20%
+      of all points, and its single-resolution 3x3 ring emitted
+      ~1.3e8 candidate pairs at sf1.0 (~10^4 candidates per hot
+      query for k=5).
     * per radius r in ``radii`` (default just the 3x3 ring): (2r+1)^2
-      ring join over the still-unresolved queries; a query is
-      RESOLVED when it has k candidates and its kth distance
-      <= r*cell_size (any point outside the ring is >= r*cell_size
-      away).
+      ring join at the base cell size over the still-unresolved
+      queries.
     * final stage: ring of radius ceil(extent/cell_size)+1 — computed
       from the data's own bounding box (one 1-row agg job), so the
       ring provably covers every point and the guarantee is
@@ -175,20 +203,19 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
 
     Every stage is linear in (#queries x ring cells) + candidate
     pairs; skewed hotspot cells stay AQE-splittable equi-join keys.
-    Each extra intermediate radius adds two window passes + an
-    anti-join to the plan (~0.5 s fixed cost at bench scale), so add
-    intermediates (e.g. ``radii=(1, 4)``) only when the unresolved
-    fraction after the 3x3 ring is known to be large.
+    Each extra stage adds two window passes + an anti-join to the
+    plan (~0.5 s fixed cost at bench scale); the heavy per-stage
+    exchange subtrees are shared between the output union and the
+    next stage's remainder anti-join via Spark's exchange reuse.
     """
     points = ensure_parallelism(points)
+    release_knn_caches()
     g = points.select(
-        F.col(id_col).alias("qid"), F.col("lon").alias("qx"), F.col("lat").alias("qy"),
-        F.floor(F.col("lon") / cell_size).alias("qgx"),
-        F.floor(F.col("lat") / cell_size).alias("qgy"))
-    p = points.select(
-        F.col(id_col).alias("nid"), F.col("lon").alias("nx"), F.col("lat").alias("ny"),
-        F.floor(F.col("lon") / cell_size).alias("ngx"),
-        F.floor(F.col("lat") / cell_size).alias("ngy"))
+        F.col(id_col).alias("qid"), F.col("lon").alias("qx"),
+        F.col("lat").alias("qy"))
+    p_base = points.select(
+        F.col(id_col).alias("nid"), F.col("lon").alias("nx"),
+        F.col("lat").alias("ny"))
 
     # final-ring radius from the data's own extent (one tiny agg job):
     # a ring that wide centered anywhere covers the whole bounding box
@@ -207,20 +234,29 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
     # distinct occupied cells: at 11.25-degree cells the worldwide
     # dimension is <= 32x16 rows; even at street-level cells it is
     # bounded by data density, not ring width — safe to broadcast
-    occupied = p.select(F.col("ngx").alias("gx"),
-                        F.col("ngy").alias("gy")).distinct()
+    # (base cell size only — used by the exhaustive stage's semi-join)
+    occupied = p_base.select(
+        F.floor(F.col("nx") / cell_size).alias("gx"),
+        F.floor(F.col("ny") / cell_size).alias("gy")).distinct()
 
     w = Window.partitionBy("qid").orderBy(F.col("dist2"), F.col("nid"))
     w2 = Window.partitionBy("qid")
 
-    def ring_topk(queries: DataFrame, radius: int,
+    def ring_topk(queries: DataFrame, cs: float, radius: int,
                   exhaustive: bool) -> DataFrame:
-        # Equi-join formulation of the (2r+1)^2 ring: explode each
-        # query into its ring cells and hash-join on the cell key. A
-        # pure range predicate (ngx BETWEEN qgx±r ...) has no equi-key
-        # and Catalyst falls back to a nested-loop join — quadratic at
-        # scale; the explode costs (2r+1)^2 x query rows but keeps the
-        # join linear and AQE-skew-splittable (urban-hotspot cells).
+        # Equi-join formulation of the (2r+1)^2 ring at cell size cs:
+        # explode each query into its ring cells and hash-join on the
+        # cell key. A pure range predicate (ngx BETWEEN qgx±r ...) has
+        # no equi-key and Catalyst falls back to a nested-loop join —
+        # quadratic at scale; the explode costs (2r+1)^2 x query rows
+        # but keeps the join linear and AQE-skew-splittable
+        # (urban-hotspot cells).
+        queries = queries.withColumn("qgx", F.floor(F.col("qx") / cs)) \
+            .withColumn("qgy", F.floor(F.col("qy") / cs))
+        p = p_base.select(
+            "nid", "nx", "ny",
+            F.floor(F.col("nx") / cs).alias("ngx"),
+            F.floor(F.col("ny") / cs).alias("ngy"))
         n = 2 * radius + 1
         if radius > 2:
             # Wide rings (the exhaustive stage especially: (2*r_max+1)^2
@@ -267,14 +303,14 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
             .where(F.col("rank") <= k)
         if exhaustive:
             return topk
-        # guarantee: any point outside the ring is >= radius*cell_size
-        # away. count/kth via a second window over the same
-        # partitioning — reuses the row_number exchange, no extra
-        # groupBy+join round trip. STRICT kth < lim: at exactly
-        # radius*cell_size an outside point ties the kth distance and
-        # could win the (dist2, nid) tie-break, so boundary ties must
-        # escalate to the next ring
-        lim = (radius * cell_size) ** 2
+        # guarantee: any point outside the ring is >= radius*cs away
+        # (per-stage cell size). count/kth via a second window over
+        # the same partitioning — reuses the row_number exchange, no
+        # extra groupBy+join round trip. STRICT kth < lim: at exactly
+        # radius*cs an outside point ties the kth distance and could
+        # win the (dist2, nid) tie-break, so boundary ties must
+        # escalate to the next stage
+        lim = (radius * cs) ** 2
         return (topk.withColumn("ncand", F.count("*").over(w2))
                 .withColumn("kth", F.max("dist2").over(w2))
                 .where((F.col("ncand") == k) & (F.col("kth") < F.lit(lim)))
@@ -284,10 +320,28 @@ def knn_self(points: DataFrame, k: int = 5, cell_size: float = 11.25,
             F.col("rank"), F.col("dist2")]
     out = None
     remaining = g
-    stages = [r for r in radii if r < r_max] + [r_max]
-    for i, radius in enumerate(stages):
+    # finest cells first (dense clusters resolve with tiny rings),
+    # then the base-size radii ladder, then the extent-covering
+    # exhaustive ring; each stage sees only the queries every finer
+    # stage failed to resolve
+    stages = [(cell_size / f, 1) for f in fine_fractions if f > 1] \
+        + [(cell_size, r) for r in radii if r < r_max] \
+        + [(cell_size, r_max)]
+    for i, (cs, radius) in enumerate(stages):
         last = i == len(stages) - 1
-        stage = ring_topk(remaining, radius, exhaustive=last)
+        stage = ring_topk(remaining, cs, radius, exhaustive=last)
+        if not last:
+            # persist + eager barrier: a non-final stage's output is
+            # read by BOTH the result union and the next stage's
+            # remainder anti-join, and later stages chain on it — left
+            # lazy, every downstream consumer re-executes the whole
+            # ring-join subtree (exchange reuse does not cover the
+            # windows/filters above the shuffle, and the chained plans
+            # grow multiplicatively with the stage count). The cached
+            # frame is bounded: <= k rows per RESOLVED query.
+            stage = stage.persist(StorageLevel.MEMORY_AND_DISK)
+            _knn_persisted.append(stage)
+            stage.count()
         out = stage.select(*cols) if out is None \
             else out.unionByName(stage.select(*cols))
         if not last:
