@@ -53,8 +53,13 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     toks = (docs.select("doc_id", F.explode(F.split("text", " "))
                         .alias("token")))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf (its rows are exactly the distinct
+    # (doc, token) pairs): the exploded token stream is shuffled once
+    # and the tf exchange is reused for both consumers, where the old
+    # `toks.groupBy(token).countDistinct(doc_id)` re-exploded and
+    # re-shuffled the whole token stream a second time plus paid the
+    # distinct expansion (guide §2.3/§2.4)
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (tf.join(df_, "token")
               .select("doc_id", "token", "tf", "df",
                       ((F.col("tf") * F.lit(n_docs)).cast("double")

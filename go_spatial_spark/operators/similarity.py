@@ -86,8 +86,12 @@ def _pin_parts(df: DataFrame) -> int:
     spark = df.sparkSession
     try:
         conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        conf_p = 0  # e.g. "auto" on AQE-managed platforms
+    except Exception:
+        # non-numeric ("auto") OR a platform where the lookup itself
+        # raises (Py4J-wrapped NoSuchElementException when defaults
+        # are suppressed) — the fallback below is the safe default
+        # either way, so the pin stays best-effort
+        conf_p = 0
     return max(conf_p, 2 * spark.sparkContext.defaultParallelism, 32)
 
 
@@ -189,7 +193,16 @@ def cosine_topk(emb: DataFrame, k: int = 5,
     n_centroids-row quantizer is collected. The brute-force exactness
     baseline lives in cosine_topk_bruteforce (size-guarded); callers
     who relied on the pre-ANN exact semantics opt back in with
-    ``exact=True`` (same size guard)."""
+    ``exact=True`` (same size guard).
+
+    Cache invalidation contract: the memoized index keys on the input
+    PLAN's semantics, not the underlying bytes — within one session,
+    re-reading a parquet path whose files were overwritten or appended
+    yields the same plan, so results would come from the index built
+    over the OLD data. Callers that mutate the underlying storage must
+    call ``release_ann_caches()`` before querying again (the
+    index-at-ingest production framing: mutate corpus -> re-ingest ->
+    rebuild index)."""
     if exact:
         return cosine_topk_bruteforce(emb, k)
     emb = ensure_parallelism(emb)
@@ -384,9 +397,10 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
 
     MEMOIZED across calls on (input plan semanticHash, parameters) —
     same production index semantics as _ann_index."""
-    global _ivf_assign_cached, _ivf_assign_key
+    global _ivf_assign_cached, _ivf_assign_key, _ivf_assign_input
     key = (_plan_key(emb), n_centroids, nprobe)
-    if _ivf_assign_cached is not None and _ivf_assign_key == key:
+    if _ivf_assign_cached is not None and _ivf_assign_key == key \
+            and _same_input(emb, _ivf_assign_input):
         return _ivf_assign_cached
     spark = emb.sparkSession
     cents_pdf = (emb.orderBy("vec_id").limit(n_centroids)
@@ -448,8 +462,6 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
     out = emb.select("vec_id", "embedding").mapInPandas(
         assign, schema=("vec_id long, embedding array<float>, cid long, "
                         "arn int, norm double")).cache()
-    _ivf_assign_cached = out
-    _ivf_assign_key = key
     # Eager materialization BARRIER (round-5 scaling fix): the probe
     # and bucket consumers of this cache are independent shuffle-map
     # stages that Spark submits CONCURRENTLY. On a multi-executor
@@ -460,14 +472,30 @@ def _ivf_assign(emb: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
     # executors from exactly this race (stages 78-81, BENCH/NOTES.md
     # round-5 profile). One count() populates every block with full
     # cluster parallelism before any consumer launches.
-    out.count()
+    # The memo globals are set only AFTER the barrier succeeds: if
+    # count() throws (executor OOM, transient failure) a populated
+    # memo would make the retry call skip the barrier and reintroduce
+    # the recompute race on a half-materialized cache.
+    try:
+        out.count()
+    except Exception:
+        try:
+            out.unpersist(blocking=False)
+        except Exception:
+            pass
+        raise
+    _ivf_assign_cached = out
+    _ivf_assign_key = key
+    _ivf_assign_input = emb
     return out
 
 
 _ivf_assign_cached: DataFrame | None = None
 _ivf_assign_key: tuple | None = None
+_ivf_assign_input: DataFrame | None = None
 _ann_index_cached: DataFrame | None = None
 _ann_index_key: tuple | None = None
+_ann_index_input: DataFrame | None = None
 
 
 def _plan_key(df: DataFrame):
@@ -478,13 +506,30 @@ def _plan_key(df: DataFrame):
     filter, projection) changes the hash and forces a rebuild. The
     applicationId is part of the key so a cache built in a stopped
     session can never be returned into a NEW session whose plans
-    happen to hash the same. Falls back to object identity if the
-    internal API moves."""
+    happen to hash the same. On failure of the internal API the key
+    is a fresh sentinel object that can never compare equal to a
+    stored key — memoization is simply disabled for that call (the
+    old id(df) fallback could alias a GC-reused address and serve a
+    stale index for different data)."""
     try:
         return (df.sparkSession.sparkContext.applicationId,
                 df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:
-        return id(df)
+        return object()
+
+
+def _same_input(df: DataFrame, cached_input: DataFrame | None) -> bool:
+    """Confirm a memo hit with the public sameSemantics API: the
+    32-bit semanticHash in the key is only a fast pre-filter, and two
+    semantically different plans that collide on it must not silently
+    share an index (wrong neighbors, no error). Any API failure
+    counts as a miss — rebuild is always safe."""
+    if cached_input is None:
+        return False
+    try:
+        return df.sameSemantics(cached_input)
+    except Exception:
+        return False
 
 
 def release_ann_caches() -> None:
@@ -493,6 +538,7 @@ def release_ann_caches() -> None:
     immediately instead of waiting for the next ANN call to evict it."""
     global _ivf_assign_cached, _ann_index_cached
     global _ivf_assign_key, _ann_index_key
+    global _ivf_assign_input, _ann_index_input
     for df in (_ivf_assign_cached, _ann_index_cached):
         if df is not None:
             try:
@@ -503,6 +549,8 @@ def release_ann_caches() -> None:
     _ann_index_cached = None
     _ivf_assign_key = None
     _ann_index_key = None
+    _ivf_assign_input = None
+    _ann_index_input = None
 
 
 def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
@@ -524,9 +572,10 @@ def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
     queried many times, not rebuilt per query. Any input or
     parameter change misses the key and rebuilds (single slot, old
     cache evicted)."""
-    global _ann_index_cached, _ann_index_key
+    global _ann_index_cached, _ann_index_key, _ann_index_input
     key = (_plan_key(emb), n_centroids, nprobe, n_planes, per_band, dim)
-    if _ann_index_cached is not None and _ann_index_key == key:
+    if _ann_index_cached is not None and _ann_index_key == key \
+            and _same_input(emb, _ann_index_input):
         return _ann_index_cached
     spark = emb.sparkSession
     cents_pdf = (emb.orderBy("vec_id").limit(n_centroids)
@@ -596,8 +645,6 @@ def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
         build, schema=("vec_id long, embedding array<float>, norm double, "
                        "kind int, cid long, arn int, band int, sig long")
     ).cache()
-    _ann_index_cached = out
-    _ann_index_key = key
     # Eager materialization BARRIER — same race as _ivf_assign but 4x
     # worse: cosine_topk's plan scans this cache from FOUR concurrent
     # shuffle-map stages (IVF probes, IVF buckets, LSH left, LSH
@@ -609,8 +656,20 @@ def _ann_index(emb: DataFrame, n_centroids: int, nprobe: int,
     # 114 -> 573 s, and 2.4x trial-to-trial variance at 4N — the
     # round-4 verdict's "data-proportional serial fraction"). The
     # count() populates the cache once, with full parallelism, before
-    # the consumers launch.
-    out.count()
+    # the consumers launch. Memo globals are set only AFTER the
+    # barrier succeeds (a populated memo on a failed count() would let
+    # a retry skip the barrier and race a half-materialized cache).
+    try:
+        out.count()
+    except Exception:
+        try:
+            out.unpersist(blocking=False)
+        except Exception:
+            pass
+        raise
+    _ann_index_cached = out
+    _ann_index_key = key
+    _ann_index_input = emb
     return out
 
 
@@ -703,7 +762,11 @@ def ivf_topk(emb: DataFrame, k: int = 5,
     probe their nprobe nearest buckets. Assignment runs as one
     broadcast-centroids mapInPandas pass (fold order preserved);
     bucket search is an equi-join on centroid id with per-vector
-    precomputed norms — the shuffle-light ANN shape."""
+    precomputed norms — the shuffle-light ANN shape.
+
+    Cache invalidation contract: same as cosine_topk — the memoized
+    assignment keys on plan semantics; after mutating the underlying
+    files call ``release_ann_caches()`` to force a rebuild."""
     emb = ensure_parallelism(emb)
     return _topk_window(
         _ivf_bucket_scored(

@@ -293,7 +293,16 @@ def _maps_from_histo(mn: float, bin_size: float, histo: np.ndarray,
         bin_num[i] = b
         bin_total[b] += histo[i]
         val_prob[i] = float(running)
-    val_prob = val_prob / bin_total[bin_num].astype(np.float64)
+    # empty-bin semantics: a coarse bin with zero total (all-flat
+    # rasters concentrate every cell in one high-res bin) contributes
+    # NaN probabilities that the percentile kernel never reads (no
+    # cell maps into an empty bin) — divide only where defined instead
+    # of letting NumPy emit a RuntimeWarning future readers must
+    # re-triage
+    denom = bin_total[bin_num].astype(np.float64)
+    val_prob = np.divide(val_prob, denom,
+                         out=np.full_like(val_prob, np.nan),
+                         where=denom > 0)
     return float(mn), float(bin_size), bin_num, val_prob
 
 

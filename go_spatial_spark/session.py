@@ -107,6 +107,13 @@ def get_spark(app: str = "go_spatial_spark", cpus: int | None = None,
     for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
         if "=" in kv:
             k, v = kv.split("=", 1)
+            # log each applied override: because the hook is applied
+            # LAST it silently wins over every hardened named config
+            # above, so a probe config leaking from a bench/A-B
+            # environment into a production run must leave a trace
+            import sys as _sys
+            print(f"[session] SPARK_GRAFT_EXTRA_CONF override: "
+                  f"{k.strip()}={v.strip()}", file=_sys.stderr)
             builder = builder.config(k.strip(), v.strip())
     # single-threaded math libs inside the (many) python workers:
     # 32 workers x N BLAS/Arrow threads oversubscribes the host

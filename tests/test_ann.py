@@ -137,3 +137,30 @@ def test_ann_index_memoized_and_invalidated(spark, sf001):
         assert idx4 is not idx3
     finally:
         similarity.release_ann_caches()
+
+
+def test_memo_fallback_never_aliases(spark, sf001, monkeypatch):
+    """When the internal semanticHash API is unavailable, _plan_key
+    must return a never-matching sentinel (memoization disabled), not
+    id(df): CPython reuses object addresses after GC, so an id-keyed
+    memo can serve a stale ANN index for DIFFERENT data. Two distinct
+    frames must never share a cache slot under the fallback."""
+    k1 = similarity._plan_key(object())  # no _jdf -> fallback path
+    k2 = similarity._plan_key(object())
+    assert k1 != k2
+    # full-path check: monkeypatch the key to always collide and
+    # assert the sameSemantics confirm still rejects the hit
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    other = emb.where(F.col("vec_id") % 2 == 0)
+    try:
+        monkeypatch.setattr(similarity, "_plan_key", lambda df: "fixed")
+        idx1 = similarity._ann_index(emb, 16, 2, similarity.LSH_PLANES,
+                                     similarity.TOPK_LSH_PER_BAND, 64)
+        idx2 = similarity._ann_index(other, 16, 2, similarity.LSH_PLANES,
+                                     similarity.TOPK_LSH_PER_BAND, 64)
+        # a colliding 32-bit key alone must NOT alias the caches: the
+        # public sameSemantics confirm forces a rebuild for `other`
+        assert idx1 is not idx2
+        assert idx2.count() < idx1.count()
+    finally:
+        similarity.release_ann_caches()
