@@ -98,12 +98,18 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band
     (band = concat of 2 adjacent minhashes). Equi-join on band value."""
     sig = minhash_signatures(docs)
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("sig"))
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode, not a 4-way union: each union branch re-executed the
+    # whole signature aggregation subtree (the same defect class as the
+    # ngram mirror union — only the exchange below the agg is reused
+    # across branches), while explode emits all bands from a single
+    # computed subtree
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(F.col(f"h{2 * b}"),
+                          F.col(f"h{2 * b + 1}")).alias("sig"))
+        for b in range(N_BANDS)])).alias("bs")) \
+        .select("doc_id", F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
     left = bands.select(F.col("doc_id").alias("a"), "band", "sig")
     right = bands.select(F.col("doc_id").alias("b"), "band", "sig")
     return (left.join(right, ["band", "sig"])

@@ -1,0 +1,112 @@
+"""N -> 4N scaling rows for the two heaviest never-cohorted queries:
+ngram_jaccard_top1 and knn (round-5 verdict task #3).
+
+bench.py is frozen for driver measurement this round, so these rows
+live here instead of in bench.py's scaling_workload. Protocol is
+otherwise IDENTICAL to scripts/scaling_bench.py: the same job at two
+cluster sizes emulated with multi-process executors
+(local-cluster[1,2,mem] vs local-cluster[4,2,mem]), constant node
+shape, pre-touched heaps, 1 warm-up + min of 2 timed runs, every
+completed run graded (no exclusions).
+
+Input: the sf1.0 corpus natively (50k docs) — replication is wrong
+for ngram (replicas share their whole gram set, so every gram's
+document frequency multiplies by the replication factor and the
+df_cap drops the entire vocabulary: the query degenerates to empty
+output and would measure nothing).
+
+Usage: python scripts/scaling_extra.py            # both levels, JSON
+       python scripts/scaling_extra.py --worker   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEVELS = (("N", 1, 2), ("4N", 4, 2))
+EXEC_MB = 10240
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+
+
+def worker() -> None:
+    sys.path.insert(0, REPO)
+    from go_spatial_spark.session import get_spark
+    from go_spatial_spark.operators import dedup
+    from go_spatial_spark.operators.spatial_join import knn_self
+    from go_spatial_spark.geocode import geocode
+
+    cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+    spark = get_spark("gss-scaling-extra", cpus=cpus,
+                      shuffle_partitions=32)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .repartition(32).cache()
+    docs.count()
+    pts = geocode(docs).select("doc_id", "lat", "lon")
+
+    queries = {
+        "ngram_50k": lambda: dedup.ngram_jaccard_top1(docs).count(),
+        "knn_50k": lambda: knn_self(pts, k=5).count(),
+    }
+    times: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
+    for name, fn in queries.items():
+        rec = trials.setdefault(name, [])
+        best = float("inf")
+        for i in range(3):  # 1 warm-up + 2 timed
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            rec.append(round(dt, 3))
+            if i >= 1:
+                best = min(best, dt)
+        times[name] = round(best, 3)
+        print(f"[extra-scaling] {name} {best:.2f}s trials={rec}",
+              file=sys.stderr, flush=True)
+    print(json.dumps({"queries": times, "trials": trials, "cpus": cpus}))
+    spark.stop()
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker()
+        return
+    out: dict[str, dict] = {}
+    for label, n_exec, cores in LEVELS:
+        master = f"local-cluster[{n_exec},{cores},{EXEC_MB}]"
+        env = dict(os.environ,
+                   SPARK_GRAFT_CPUS=str(n_exec * cores),
+                   SPARK_GRAFT_MASTER=master,
+                   SPARK_GRAFT_DRIVER_MEM="6g",
+                   SPARK_GRAFT_PRETOUCH="1",
+                   SPARK_GRAFT_SF_DIR=SF_DIR)
+        print(f"[extra-scaling] {label} master={master} ...",
+              file=sys.stderr, flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-4000:])
+            raise RuntimeError(f"worker failed at {label}")
+        for ln in r.stderr.splitlines():
+            if ln.startswith("[extra-scaling]"):
+                print(ln, file=sys.stderr, flush=True)
+        out[label] = json.loads(r.stdout.strip().splitlines()[-1])
+        # let executor JVMs tear down before the next level
+        time.sleep(10)
+    factor = (LEVELS[1][1] * LEVELS[1][2]) / (LEVELS[0][1] * LEVELS[0][2])
+    eff = {q: round((out["N"]["queries"][q] / out["4N"]["queries"][q])
+                    / factor, 3)
+           for q in out["N"]["queries"]}
+    print(json.dumps({"eff_N_4N": eff,
+                      "seconds_N": out["N"]["queries"],
+                      "seconds_4N": out["4N"]["queries"],
+                      "trials": {lbl: out[lbl]["trials"] for lbl in out}}))
+
+
+if __name__ == "__main__":
+    main()
