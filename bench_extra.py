@@ -97,6 +97,11 @@ def main() -> None:
                             r=8, k=300.0),
         "quantiles": lambda: quantiles(
             synthetic_dem(spark, BENCH_ROWS, BENCH_COLS)),
+        "events_hourly": lambda: (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("hour", F.expr(
+                "CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600"))
+            .groupBy("hour", "event_type").count()),
         "tpch_q1": lambda: (
             li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity"), F.count("*"))),

@@ -54,12 +54,19 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
                         .alias("token")))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     # df derived FROM tf (its rows are exactly the distinct
-    # (doc, token) pairs): the exploded token stream is shuffled once
-    # and the tf exchange is reused for both consumers, where the old
+    # (doc, token) pairs), where the old
     # `toks.groupBy(token).countDistinct(doc_id)` re-exploded and
     # re-shuffled the whole token stream a second time plus paid the
-    # distinct expansion (guide §2.3/§2.4)
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # distinct expansion (guide §2.3/§2.4). The `tf >= 1` filter is
+    # always true (count(*) of a group is >= 1) and exists ONLY to
+    # reference tf's aggregate output: without it Catalyst prunes the
+    # partial_count from this branch's copy of the subtree, the two
+    # exchange subtrees stop being canonically equal, and runtime
+    # exchange reuse cannot fire — with it the executed adaptive plan
+    # contains a ReusedExchange and the corpus-scale explode+shuffle
+    # runs exactly once for both consumers.
+    df_ = (tf.where(F.col("tf") >= 1)
+           .groupBy("token").agg(F.count("*").alias("df")))
     scored = (tf.join(df_, "token")
               .select("doc_id", "token", "tf", "df",
                       ((F.col("tf") * F.lit(n_docs)).cast("double")

@@ -285,3 +285,21 @@ def test_tfidf_join_is_hash_join(spark, sf001):
     # the window's sort is a per-partition sort under the doc_id
     # exchange, never a global Exchange rangepartitioning
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_tfidf_reuses_token_stream_exchange(spark, sf001):
+    """The df branch is derived from the tf aggregate and keeps tf's
+    partial_count in its subtree (via the always-true `tf >= 1`
+    guard), so the corpus-scale explode+shuffle of the token stream is
+    computed ONCE: the executed adaptive plan must contain a
+    ReusedExchange. Compile-time `explain` prints two subtrees — only
+    the runtime plan proves the reuse, which is why this test runs the
+    query."""
+    from go_spatial_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    out = corpus.tfidf_topk(docs)
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "ReusedExchange" in executed, executed
