@@ -40,6 +40,8 @@ def worker() -> None:
     from go_spatial_spark.operators.spatial_join import knn_self
     from go_spatial_spark.geocode import geocode
 
+    from pyspark.sql import functions as F
+
     cpus = int(os.environ["SPARK_GRAFT_CPUS"])
     spark = get_spark("gss-scaling-extra", cpus=cpus,
                       shuffle_partitions=32)
@@ -47,10 +49,24 @@ def worker() -> None:
         .repartition(32).cache()
     docs.count()
     pts = geocode(docs).select("doc_id", "lat", "lon")
+    # knn_200k: 4x-replicated point cloud, unique ids, hotspot
+    # preserved (exact coordinate copies — the ring join's candidate
+    # density is what's being scaled). At 50k the query's wall is
+    # part fixed stage-ladder latency; this row measures the
+    # compute-bound regime with the density-matched ladder.
+    pts4 = (pts.select(
+        "doc_id", "lat", "lon",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r"))
+        .select((F.col("doc_id") * 4 + F.col("r")).alias("doc_id"),
+                "lat", "lon")
+        .repartition(32).cache())
+    pts4.count()
 
     queries = {
         "ngram_50k": lambda: dedup.ngram_jaccard_top1(docs).count(),
         "knn_50k": lambda: knn_self(pts, k=5).count(),
+        "knn_200k": lambda: knn_self(
+            pts4, k=5, fine_fractions=(1440.0, 360.0, 4.0)).count(),
     }
     times: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
@@ -88,7 +104,7 @@ def main() -> None:
               file=sys.stderr, flush=True)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker"],
-            env=env, capture_output=True, text=True, timeout=3600)
+            env=env, capture_output=True, text=True, timeout=7200)
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-4000:])
             raise RuntimeError(f"worker failed at {label}")
